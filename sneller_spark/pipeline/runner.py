@@ -1,0 +1,131 @@
+"""End-to-end pipeline runner: parse -> enrich -> route -> aggregate
+with unit-granular checkpoint/resume and per-partition lineage.
+
+The unit of work is one input parquet file (the Spark analog of the
+reference's block-granular work assignment,
+/root/reference/plan/unionmap.go:208-341, and of blockfmt's
+ingest-once FileTree dedup, /root/reference/db/sync.go:366-430).
+Committed units are never reprocessed; a killed run resumes where the
+commit log left off, and the final aggregates — computed from the
+routed output table, not from transient state — come out identical to
+a single uninterrupted run.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..lookups import lookup_source_df, route_rules_df
+from .aggregate import aggregate_per_sink, aggregate_per_sink_salted
+from .enrich import enrich_stage
+from .lineage import LineageLog, UnitManifest
+from .parse import parse_stage
+from .route import route_stage
+
+ROUTED_SUBDIR = "routed"
+AGG_SUBDIR = "aggregates"
+
+
+def transform(
+    spark: SparkSession,
+    df: DataFrame,
+    lookup: DataFrame | None = None,
+    rules: DataFrame | None = None,
+) -> DataFrame:
+    """The pure transformation: input rows -> routed, enriched rows."""
+    lookup = lookup if lookup is not None else lookup_source_df(spark)
+    rules = rules if rules is not None else route_rules_df(spark)
+    return route_stage(enrich_stage(parse_stage(df), lookup), rules)
+
+
+def list_units(input_path: str) -> list[tuple[str, list[str]]]:
+    """One unit per input parquet file, deterministic order."""
+    files = sorted(
+        os.path.join(input_path, f)
+        for f in os.listdir(input_path)
+        if f.endswith(".parquet")
+    )
+    return [(f"unit-{i:05d}", [f]) for i, f in enumerate(files)]
+
+
+def run_pipeline(
+    spark: SparkSession,
+    input_path: str,
+    out_dir: str,
+    resume: bool = True,
+    max_units: int | None = None,
+    salted: bool = True,
+    salt_buckets: int = 16,
+) -> dict:
+    """Run (or resume) the pipeline over an input table directory.
+
+    Returns ExecStats-style metrics.  ``max_units`` caps how many units
+    this invocation processes — used by tests to simulate a killed job.
+    """
+    log = LineageLog(out_dir)
+    routed_dir = os.path.join(out_dir, ROUTED_SUBDIR)
+    units = list_units(input_path)
+    todo = [(uid, files) for uid, files in units if not (resume and log.is_committed(uid))]
+    if max_units is not None:
+        todo = todo[:max_units]
+
+    for unit_id, files in todo:
+        t0 = time.monotonic()
+        df = spark.read.parquet(*files)
+        routed = transform(spark, df)
+
+        unit_dir = os.path.join(routed_dir, f"unit={unit_id}")
+        # idempotent overwrite of THIS unit's directory only
+        routed.write.mode("overwrite").partitionBy("sink_id").parquet(unit_dir)
+
+        # lineage + metrics off the written data (counts what was committed)
+        written = spark.read.parquet(unit_dir)
+        per_sink = {
+            r["sink_id"]: r["n"]
+            for r in written.groupBy("sink_id").agg(F.count("*").alias("n")).collect()
+        }
+        per_part = {
+            str(r["_pid"]): r["n"]
+            for r in written.groupBy(F.spark_partition_id().alias("_pid"))
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        rows_routed = sum(per_sink.values())
+        log.commit(
+            UnitManifest(
+                unit_id=unit_id,
+                inputs=files,
+                input_bytes=sum(os.path.getsize(f) for f in files),
+                rows_in=df.count(),
+                rows_routed=rows_routed,
+                per_sink_rows=per_sink,
+                per_partition_rows=per_part,
+                wall_ms=(time.monotonic() - t0) * 1000.0,
+            )
+        )
+
+    # final aggregates from all committed units (derived state — always
+    # consistent with the routed table, regardless of kill/resume)
+    stats = log.total_stats()
+    if log.committed_units():
+        routed_all = spark.read.parquet(routed_dir)
+        agg = (
+            aggregate_per_sink_salted(routed_all, salt_buckets=salt_buckets)
+            if salted
+            else aggregate_per_sink(routed_all)
+        )
+        agg.coalesce(1).write.mode("overwrite").parquet(os.path.join(out_dir, AGG_SUBDIR))
+    stats["units_processed_this_run"] = len(todo)
+    return stats
+
+
+def read_aggregates(spark: SparkSession, out_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(out_dir, AGG_SUBDIR))
+
+
+def read_routed(spark: SparkSession, out_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(out_dir, ROUTED_SUBDIR))

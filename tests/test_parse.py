@@ -1,0 +1,65 @@
+"""Parse-stage correctness: Arrow kernels vs the independent pandas
+oracle, plus motif ground-truth checks."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from sneller_spark.datagen import generate_chunk
+from sneller_spark.oracle import parse_pdf
+from sneller_spark.pipeline.parse import decode_texts_np, parse_batch
+from sneller_spark.vocab import MOTIF_BASE, build_vocab, motif_ground_truth
+
+
+def _norm(s: pd.Series) -> list:
+    return [None if pd.isna(v) else v for v in s]
+
+
+def test_decode_matches_vocab():
+    vocab = build_vocab()
+    toks = [np.array([0, 1, 2], dtype=np.int32), np.array([MOTIF_BASE], dtype=np.int32)]
+    texts = decode_texts_np(toks)
+    assert texts[0] == f"{vocab[0]} {vocab[1]} {vocab[2]}"
+    assert texts[1] == "LEVEL=DEBUG"
+
+
+def test_parse_batch_matches_oracle():
+    pdf = generate_chunk(0, 4000)
+    got = parse_batch(pdf)
+    exp = parse_pdf(pdf)
+    for col in ("level", "code", "ip", "lat_ms"):
+        g, e = _norm(got[col]), _norm(exp[col])
+        assert g == e, f"mismatch in {col}"
+
+
+def test_parse_ground_truth_motifs():
+    """Every embedded motif must be extracted with its known value."""
+    pdf = generate_chunk(0, 4000)
+    truth = motif_ground_truth()
+    got = parse_batch(pdf)
+    n_checked = 0
+    for i in range(len(pdf)):
+        toks = np.asarray(pdf["tokens"].iloc[i])
+        motifs = toks[toks >= MOTIF_BASE]
+        expected: dict[str, object] = {}
+        for m in motifs:
+            expected.update(truth[int(m)])
+        for field in ("level", "code", "ip", "lat_ms"):
+            v = got[field].iloc[i]
+            v = None if pd.isna(v) else v
+            if field in expected:
+                assert v == expected[field], (i, field, v, expected)
+                n_checked += 1
+            else:
+                assert v is None, (i, field, v)
+    assert n_checked > 2000
+
+
+def test_no_match_is_null():
+    pdf = generate_chunk(0, 2000)
+    clean = pdf[pdf["tokens"].map(lambda t: (np.asarray(t) < MOTIF_BASE).all())]
+    assert len(clean) > 100
+    got = parse_batch(clean.reset_index(drop=True))
+    for col in ("level", "code", "ip", "lat_ms"):
+        assert got[col].isna().all()

@@ -1,0 +1,89 @@
+"""Checkpoint/resume: a killed job (simulated via max_units) restarts
+without reprocessing committed units and converges to exactly the
+one-shot result — the analog of blockfmt input dedup
+(/root/reference/db/sync.go:366-430)."""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pytest
+
+from sneller_spark.datagen import generate_chunk
+from sneller_spark.oracle import run_oracle
+from sneller_spark.pipeline.lineage import LineageLog
+from sneller_spark.pipeline.runner import read_aggregates, run_pipeline
+
+N = 6_000
+FILES = 4
+
+
+@pytest.fixture(scope="module")
+def input_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("tokens_input")
+    per = N // FILES
+    for k in range(FILES):
+        pdf = generate_chunk(k * per, (k + 1) * per)
+        pdf.to_parquet(d / f"part-{k:02d}.parquet", index=False)
+    return str(d)
+
+
+def _norm(pdf: pd.DataFrame) -> pd.DataFrame:
+    out = pdf.copy()
+    out["level"] = out["level"].where(pd.notna(out["level"]), None)
+    out = out.sort_values(
+        ["sink_id", "source", "level"], na_position="first"
+    ).reset_index(drop=True)
+    for c in ("n_rows", "sum_n_tok"):
+        out[c] = out[c].astype("int64")
+    return out[["sink_id", "source", "level", "n_rows", "sum_n_tok"]]
+
+
+def test_resume_equals_oneshot(spark, input_dir, tmp_path):
+    oneshot_dir = str(tmp_path / "oneshot")
+    resumed_dir = str(tmp_path / "resumed")
+
+    stats1 = run_pipeline(spark, input_dir, oneshot_dir)
+    assert stats1["units"] == FILES and stats1["rows_in"] == N
+
+    # simulate a kill after 2 units, then resume
+    p1 = run_pipeline(spark, input_dir, resumed_dir, max_units=2)
+    assert p1["units_processed_this_run"] == 2
+    assert LineageLog(resumed_dir).committed_units() == {"unit-00000", "unit-00001"}
+    p2 = run_pipeline(spark, input_dir, resumed_dir)
+    assert p2["units_processed_this_run"] == 2  # committed units skipped
+    assert p2["units"] == FILES and p2["rows_in"] == N
+
+    a = _norm(read_aggregates(spark, oneshot_dir).toPandas())
+    b = _norm(read_aggregates(spark, resumed_dir).toPandas())
+    pd.testing.assert_frame_equal(a, b)
+
+    # and both equal the oracle
+    _, exp = run_oracle(
+        pd.concat([generate_chunk(0, N)], ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(a, _norm(exp))
+
+
+def test_rerun_is_idempotent(spark, input_dir, tmp_path):
+    out = str(tmp_path / "idem")
+    run_pipeline(spark, input_dir, out)
+    before = _norm(read_aggregates(spark, out).toPandas())
+    stats = run_pipeline(spark, input_dir, out)  # everything committed
+    assert stats["units_processed_this_run"] == 0
+    after = _norm(read_aggregates(spark, out).toPandas())
+    pd.testing.assert_frame_equal(before, after)
+
+
+def test_manifest_lineage_contents(spark, input_dir, tmp_path):
+    out = str(tmp_path / "lineage")
+    run_pipeline(spark, input_dir, out, max_units=1)
+    log = LineageLog(out)
+    m = log.read_manifest("unit-00000")
+    assert m.rows_in == N // FILES
+    assert m.rows_routed == m.rows_in  # routing never drops rows
+    assert sum(m.per_sink_rows.values()) == m.rows_routed
+    assert sum(m.per_partition_rows.values()) == m.rows_routed
+    assert m.input_bytes > 0 and m.wall_ms > 0
+    assert os.path.exists(os.path.join(out, "_commit.log"))
