@@ -1,38 +1,46 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes the operator catalog (sneller_spark.query_catalog
++ query_catalog_ml — one entry per implemented operator from
+SURVEY.md §2); ``oracle_sql()`` the matching DuckDB SQL.  Entries whose
+semantics cannot be reproduced in ANSI SQL (approx sketches, xxhash64-
+based dedup, generated-input pipelines) have no oracle and get the
+driver's rows-only check; their exact-correctness coverage lives in
+tests/ against the pure-pandas oracle.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from sneller_spark import query_catalog, query_catalog_ml  # noqa: F401,E402
+from sneller_spark.query_catalog import CATALOG  # noqa: E402
+from sneller_spark.session import ship_package  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the parse -> enrich -> route -> aggregate DAG in
+    miniature over /root/testdata/sf0.001 documents."""
+    ship_package(spark)
+    return CATALOG["docs_pipeline_route_agg"].fn(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    def wrap(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            ship_package(spark)  # mapInPandas entries need the pkg on workers
+            return fn(spark, sf_dir)
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+        return run
+
+    return {name: wrap(e.fn) for name, e in CATALOG.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: e.oracle for name, e in CATALOG.items() if e.oracle is not None}

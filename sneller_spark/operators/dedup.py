@@ -1,0 +1,180 @@
+"""Deduplication operators for training-data pipelines.
+
+All of these stay JVM-side (built-in pyspark.sql.functions — no Python
+UDFs at all): shingling is a higher-order array expression, hashing is
+xxhash64, MinHash is a bank of min() aggregates over permuted hashes,
+and LSH banding is a self-join on (band_index, band_hash).  That is the
+scale path: every step is whole-stage-codegen'd and shuffles only on
+band buckets (tiny), never on raw text.
+
+Design notes for 100 TB:
+  * the candidate-pair self-join is banded, so only documents sharing a
+    band bucket meet in the shuffle — the classic MinHash-LSH layout;
+  * `exact_dedup` hashes full normalized text and keeps min(doc_id) per
+    hash group — a single hash-shuffle of (hash, id), never the text.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# 31-bit Mersenne prime: (a*h + b) with a,h < 2^31 stays < 2^62, so the
+# permutation arithmetic never overflows a Spark LONG under ANSI mode
+_MERSENNE = (1 << 31) - 1
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact duplicate groups: normalized-text hash -> representative
+    (min id) + duplicate count."""
+    h = F.xxhash64(F.lower(F.trim(F.col(text_col))))
+    return (
+        df.select(F.col(id_col).alias("id"), h.alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.min("id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def ngram_shingles(df: DataFrame, text_col: str, k: int = 5) -> DataFrame:
+    """Add a `shingles` column: word k-grams as strings, built entirely
+    with array expressions (split + transform(sequence) + slice)."""
+    words = F.split(F.col(text_col), r"\s+")
+    n = F.greatest(F.size(words) - F.lit(k - 1), F.lit(0))
+    shingles = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.concat_ws(" ", F.slice(words, i, k)),
+    )
+    return df.withColumn("shingles", shingles)
+
+
+def _perm_params(n_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    rng = np.random.Generator(np.random.PCG64(seed))
+    a = rng.integers(1, _MERSENNE, size=n_hashes, dtype=np.int64)
+    b = rng.integers(0, _MERSENNE, size=n_hashes, dtype=np.int64)
+    return list(zip(a.tolist(), b.tolist()))
+
+
+def _base_hash(col_name: str):
+    """xxhash64 folded into [0, 2^31): keeps downstream permutation
+    products within LONG range."""
+    return F.pmod(F.xxhash64(col_name), F.lit(_MERSENNE))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 32,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """MinHash signature per document: explode shingles, hash once with
+    xxhash64, then n_hashes permutations h_i = (a_i*h + b_i) mod M61,
+    each reduced with a min() aggregate (one shuffle, map-side
+    combined)."""
+    sh = ngram_shingles(df, text_col, shingle_k).select(
+        F.col(id_col).alias("id"), F.explode("shingles").alias("shingle")
+    )
+    hashed = sh.select("id", _base_hash("shingle").alias("h"))
+    aggs = [
+        F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(_MERSENNE))).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(_perm_params(n_hashes))
+    ]
+    return hashed.groupBy("id").agg(*aggs)
+
+
+def minhash_candidate_pairs(
+    sigs: DataFrame, n_hashes: int = 32, bands: int = 8
+) -> DataFrame:
+    """LSH banding: split the signature into `bands` bands of
+    n_hashes/bands rows, hash each band, self-join on (band, hash).
+    Returns candidate (id_a, id_b, n_bands_matched) with id_a < id_b."""
+    rows_per_band = n_hashes // bands
+    band_cols = []
+    for bi in range(bands):
+        cols = [f"mh_{bi * rows_per_band + j}" for j in range(rows_per_band)]
+        band_cols.append(F.xxhash64(*[F.col(c) for c in cols]).alias(f"band_{bi}"))
+    banded = sigs.select("id", *band_cols)
+    stacked = banded.select(
+        "id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(bi).alias("band_idx"), F.col(f"band_{bi}").alias("band_hash"))
+                for bi in range(bands)
+            ])
+        ).alias("b"),
+    ).select("id", "b.band_idx", "b.band_hash")
+    left = stacked.alias("l")
+    right = stacked.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_bands_matched"))
+    )
+    return pairs
+
+
+def simhash_fingerprint(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 32
+) -> DataFrame:
+    """SimHash: per-word xxhash64, bit-majority vote across each
+    document's words, assembled into an integer fingerprint.  One
+    explode + one groupBy; the 'bits' majority votes are a single agg
+    list (JVM-side conditional sums)."""
+    words = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.col(text_col), r"\s+")).alias("word"),
+    ).withColumn("wh", F.xxhash64("word"))
+    votes = [
+        F.sum(
+            F.when(F.col("wh").bitwiseAND(F.lit(1 << b)) != 0, F.lit(1)).otherwise(
+                F.lit(-1)
+            )
+        ).alias(f"v_{b}")
+        for b in range(bits)
+    ]
+    voted = words.groupBy("id").agg(*votes)
+    fingerprint = None
+    for b in range(bits):
+        bit = F.when(F.col(f"v_{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        fingerprint = bit if fingerprint is None else fingerprint + bit
+    return voted.select("id", fingerprint.cast("long").alias("simhash"))
+
+
+def jaccard_similarity_pairs(
+    df: DataFrame, id_col: str, text_col: str, shingle_k: int = 3, min_sim: float = 0.5
+) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs that share at least one
+    shingle (inverted-index join — never a full cross join)."""
+    sh = (
+        ngram_shingles(df, text_col, shingle_k)
+        .select(F.col(id_col).alias("id"), F.explode("shingles").alias("shingle"))
+        .distinct()
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    l, r = sh.alias("l"), sh.alias("r")
+    inter = (
+        l.join(r, (F.col("l.shingle") == F.col("r.shingle")) & (F.col("l.id") < F.col("r.id")))
+        .groupBy(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_shingles").alias("nb"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= min_sim)
+        .select("id_a", "id_b", "n_common", "jaccard")
+    )

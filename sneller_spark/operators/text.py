@@ -1,0 +1,98 @@
+"""Text-analysis operators for training-data pipelines: language ID,
+quality scoring, token counting, document fingerprinting.
+
+All built-in expressions (split / size / array_intersect / regexp /
+md5 / conv) — JVM-side end to end; no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword banks for the n-gram/stopword heuristic
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "zu", "mit", "von", "nicht"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es", "por", "con"],
+    "fr": ["le", "la", "de", "et", "est", "un", "que", "pour", "dans", "avec"],
+    "zh": ["de", "shi", "bu", "le", "zai", "you", "wo", "ta", "men", "zhe"],
+}
+
+
+def _words(text_col: Column) -> Column:
+    return F.split(text_col, r"\s+")
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: score = |words ∩ stopwords(lang)| /
+    |words|, argmax over languages; 'und' (undetermined) when no
+    stopword hits.  array_intersect keeps the whole vote JVM-side."""
+    words = _words(F.col(text_col))
+    scores = [
+        (
+            lang,
+            F.size(F.array_intersect(words, F.array(*[F.lit(w) for w in sw])))
+            / F.greatest(F.size(words), F.lit(1)),
+        )
+        for lang, sw in STOPWORDS.items()
+    ]
+    best = F.greatest(*[s for _, s in scores])
+    pred = F.lit("und")
+    for lang, s in reversed(scores):
+        pred = F.when((s == best) & (best > 0), F.lit(lang)).otherwise(pred)
+    return df.withColumn("lang_pred", pred).withColumn("lang_score", F.round(best, 6))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / word / punctuation / stopword-ratio quality features."""
+    text = F.col(text_col)
+    words = _words(text)
+    en_sw = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    return (
+        df.withColumn("n_chars_calc", F.length(text))
+        .withColumn("n_words", F.size(words))
+        .withColumn(
+            "avg_word_len",
+            F.round(
+                (F.length(text) - F.size(words) + 1) / F.greatest(F.size(words), F.lit(1)), 6
+            ),
+        )
+        .withColumn(
+            "stopword_ratio",
+            F.round(
+                F.size(F.array_intersect(words, en_sw))
+                / F.greatest(F.size(words), F.lit(1)),
+                6,
+            ),
+        )
+        .withColumn(
+            "punct_ratio",
+            F.round(
+                (F.length(text) - F.length(F.regexp_replace(text, r"[^\w\s]", "")))
+                / F.greatest(F.length(text), F.lit(1)),
+                6,
+            ),
+        )
+    )
+
+
+def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting: whitespace tokens and a BPE-ish sub-word regex
+    (letter runs, digit runs, single punctuation — an approximation of
+    byte-pair pre-tokenization)."""
+    text = F.col(text_col)
+    return df.withColumn("n_ws_tokens", F.size(_words(text))).withColumn(
+        "n_bpe_tokens", F.size(F.regexp_extract_all(text, F.lit(r"([a-zA-Z]+|\d+|[^\w\s])"), 1))
+    )
+
+
+def document_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """128-bit content fingerprint (md5 hex) + a 16-bucket shard key
+    from its top nibble — the dedup/shard handle for ingest
+    (reference analog: blockfmt input ETags,
+    /root/reference/ion/blockfmt/index.go:115-145)."""
+    fp = F.md5(F.col(text_col))
+    return df.withColumn("fingerprint", fp).withColumn(
+        "shard", F.conv(F.substring(fp, 1, 1), 16, 10).cast("int")
+    )

@@ -1,0 +1,307 @@
+"""Training-data-pipeline catalog entries: the documents/embeddings
+operators (dedup, similarity search, text analysis) plus the
+pipeline-shaped queries, registered into the same CATALOG as
+query_catalog.py."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .operators.dedup import (
+    exact_dedup,
+    jaccard_similarity_pairs,
+    minhash_candidate_pairs,
+    minhash_signatures,
+    simhash_fingerprint,
+)
+from .operators.similarity import brute_force_cosine_topk, lsh_bucketed_topk
+from .operators.text import document_fingerprint, language_id, quality_features, token_count
+from .query_catalog import load, register
+
+# =====================================================================
+# pipeline-shaped queries (parse -> enrich -> route -> aggregate)
+# =====================================================================
+
+_LANG_REGION = {
+    "en": "amer", "es": "amer", "de": "emea", "fr": "emea", "zh": "apac",
+}
+
+
+@register(
+    "docs_pipeline_route_agg",
+    """SELECT sink, lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars FROM (
+         SELECT lang, n_chars,
+                CASE WHEN region = 'emea' AND level = 'WARN' THEN 'sink-eu-warn'
+                     WHEN level = 'WARN' THEN 'sink-warn'
+                     WHEN region = 'apac' THEN 'sink-apac'
+                     ELSE 'sink-default' END AS sink
+         FROM (
+           SELECT lang, n_chars,
+                  CASE WHEN text LIKE '%slow%' THEN 'WARN'
+                       WHEN text LIKE '%fast%' THEN 'INFO'
+                       ELSE 'NONE' END AS level,
+                  CASE lang WHEN 'en' THEN 'amer' WHEN 'es' THEN 'amer'
+                            WHEN 'de' THEN 'emea' WHEN 'fr' THEN 'emea'
+                            WHEN 'zh' THEN 'apac' ELSE 'other' END AS region
+           FROM documents))
+       GROUP BY sink, lang""",
+)
+def docs_pipeline_route_agg(spark, sf_dir):
+    """The flagship DAG in miniature over the documents table:
+    parse (pattern match) -> enrich (broadcast lookup) -> route
+    (rule fan-out) -> aggregate (per-sink hash agg)."""
+    d = load(spark, sf_dir, "documents")
+    parsed = d.withColumn(
+        "level",
+        F.when(F.col("text").like("%slow%"), "WARN")
+        .when(F.col("text").like("%fast%"), "INFO")
+        .otherwise("NONE"),
+    )
+    lookup = F.broadcast(
+        spark.createDataFrame(
+            [(k, v) for k, v in _LANG_REGION.items()], ["lang", "region"]
+        )
+    )
+    enriched = parsed.join(lookup, "lang", "left").withColumn(
+        "region", F.coalesce(F.col("region"), F.lit("other"))
+    )
+    routed = enriched.withColumn(
+        "sink",
+        F.when((F.col("region") == "emea") & (F.col("level") == "WARN"), "sink-eu-warn")
+        .when(F.col("level") == "WARN", "sink-warn")
+        .when(F.col("region") == "apac", "sink-apac")
+        .otherwise("sink-default"),
+    )
+    return routed.groupBy("sink", "lang").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("sum_chars")
+    )
+
+
+@register("tokens_pipeline_flagship", None)  # generated input: rows-only
+def tokens_pipeline_flagship(spark, sf_dir):
+    """The real flagship: parse -> enrich -> route -> aggregate over a
+    deterministically generated tokenized-sequence table (the DuckDB
+    oracle cannot see generated data; correctness is covered by the
+    pytest oracle suite instead)."""
+    from .datagen import generate_tokens_df
+    from .pipeline.aggregate import aggregate_per_sink_salted
+    from .pipeline.runner import transform
+
+    df = generate_tokens_df(spark, 20_000, partitions=16)
+    return aggregate_per_sink_salted(transform(spark, df))
+
+
+# =====================================================================
+# dedup family (SURVEY.md build-plan extras)
+# =====================================================================
+
+@register(
+    "dedup_exact_counts",
+    """SELECT COUNT(*) AS n_docs,
+              COUNT(DISTINCT lower(trim(text))) AS n_unique_text,
+              COUNT(DISTINCT md5(text)) AS n_unique_md5
+       FROM documents""",
+)
+def dedup_exact_counts(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct(F.lower(F.trim(F.col("text")))).alias("n_unique_text"),
+        F.count_distinct(F.md5("text")).alias("n_unique_md5"),
+    )
+
+
+@register("dedup_exact_groups", None)  # xxhash64 has no DuckDB twin
+def dedup_exact_groups(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return exact_dedup(d, "doc_id", "text")
+
+
+@register("minhash_signatures_sample", None)
+def minhash_signatures_sample(spark, sf_dir):
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return minhash_signatures(d, "doc_id", "text", n_hashes=16, shingle_k=5)
+
+
+@register("minhash_lsh_candidates", None)
+def minhash_lsh_candidates(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    sigs = minhash_signatures(d, "doc_id", "text", n_hashes=16, shingle_k=5)
+    return minhash_candidate_pairs(sigs, n_hashes=16, bands=4)
+
+
+@register("simhash_fingerprints", None)
+def simhash_fingerprints(spark, sf_dir):
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return simhash_fingerprint(d, "doc_id", "text", bits=32)
+
+
+@register(
+    "ngram_jaccard_pairs",
+    """WITH w AS (
+         SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+         WHERE doc_id < 60
+       ), sh AS (
+         SELECT DISTINCT doc_id,
+                unnest(list_transform(
+                  generate_series(1, greatest(len(ws) - 2, 0)),
+                  i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
+         FROM w
+       ), sizes AS (
+         SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id
+       ), inter AS (
+         SELECT l.doc_id AS id_a, r.doc_id AS id_b, COUNT(*) AS n_common
+         FROM sh l JOIN sh r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+         GROUP BY 1, 2
+       )
+       SELECT id_a, id_b, n_common,
+              ROUND(CAST(n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_common), 6) AS jaccard
+       FROM inter
+       JOIN sizes sa ON sa.doc_id = id_a
+       JOIN sizes sb ON sb.doc_id = id_b
+       WHERE CAST(n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_common) >= 0.015""",
+)
+def ngram_jaccard_pairs(spark, sf_dir):
+    """Exact n-gram Jaccard near-dup pairs via inverted-index join
+    (never a cross join)."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    return jaccard_similarity_pairs(d, "doc_id", "text", shingle_k=3, min_sim=0.015)
+
+
+# =====================================================================
+# similarity search over embeddings
+# =====================================================================
+
+def _query_vec(spark, sf_dir) -> list[float]:
+    row = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .select("embedding")
+        .first()
+    )
+    return [float(v) for v in row["embedding"]]
+
+
+@register(
+    "ann_cosine_topk_brute",
+    """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       s AS (
+         SELECT e.vec_id,
+                SUM(CAST(e.embedding[g.i] AS DOUBLE) * CAST(q.qe[g.i] AS DOUBLE)) AS dot,
+                SUM(CAST(e.embedding[g.i] AS DOUBLE) * CAST(e.embedding[g.i] AS DOUBLE)) AS n1,
+                SUM(CAST(q.qe[g.i] AS DOUBLE) * CAST(q.qe[g.i] AS DOUBLE)) AS n2
+         FROM embeddings e, q, generate_series(1, 64) g(i)
+         GROUP BY e.vec_id)
+       SELECT vec_id, ROUND(dot / (SQRT(n1) * SQRT(n2)), 4) AS cos_sim
+       FROM s ORDER BY cos_sim DESC, vec_id LIMIT 10""",
+)
+def ann_cosine_topk_brute(spark, sf_dir):
+    """Exact brute-force cosine top-k (INNER_PRODUCT/COSINE_DISTANCE
+    analogs, expr/builtin.go:227-230)."""
+    e = load(spark, sf_dir, "embeddings")
+    return brute_force_cosine_topk(e, _query_vec(spark, sf_dir), k=10)
+
+
+@register("ann_cosine_topk_lsh", None)  # hyperplane pruning: rows-only
+def ann_cosine_topk_lsh(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings")
+    return lsh_bucketed_topk(e, _query_vec(spark, sf_dir), k=10, n_planes=6)
+
+
+@register(
+    "embedding_norm_by_label",
+    """SELECT label,
+              ROUND(AVG(SQRT(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                                     x -> x * x)))), 4) AS avg_norm,
+              COUNT(*) AS n
+       FROM embeddings GROUP BY label""",
+)
+def embedding_norm_by_label(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings")
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("embedding"), lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    return e.groupBy("label").agg(
+        F.round(F.avg(norm), 4).alias("avg_norm"), F.count(F.lit(1)).alias("n")
+    )
+
+
+# =====================================================================
+# text analysis
+# =====================================================================
+
+@register(
+    "text_quality_by_lang",
+    """SELECT lang,
+              COUNT(*) AS n_docs,
+              ROUND(AVG(LENGTH(text)), 4) AS avg_chars,
+              ROUND(AVG(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1), 4) AS avg_words,
+              MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+       FROM documents GROUP BY lang""",
+)
+def text_quality_by_lang(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    n_words = F.length("text") - F.length(F.regexp_replace("text", " ", "")) + 1
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg(F.length("text")), 4).alias("avg_chars"),
+        F.round(F.avg(n_words), 4).alias("avg_words"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+@register(
+    "token_count_stats",
+    """SELECT source,
+              CAST(SUM(len(string_split_regex(text, '\\s+'))) AS BIGINT) AS total_ws_tokens,
+              CAST(SUM(len(regexp_extract_all(text, '([a-zA-Z]+|\\d+|[^\\w\\s])', 1))) AS BIGINT) AS total_bpe_tokens
+       FROM documents GROUP BY source""",
+)
+def token_count_stats(spark, sf_dir):
+    d = token_count(load(spark, sf_dir, "documents"))
+    return d.groupBy("source").agg(
+        F.sum("n_ws_tokens").alias("total_ws_tokens"),
+        F.sum("n_bpe_tokens").alias("total_bpe_tokens"),
+    )
+
+
+@register("language_id_heuristic", None)  # heuristic: rows-only
+def language_id_heuristic(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return language_id(d).groupBy("lang", "lang_pred").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register("quality_features_sample", None)
+def quality_features_sample(spark, sf_dir):
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return quality_features(d).select(
+        "doc_id", "n_words", "avg_word_len", "stopword_ratio", "punct_ratio"
+    )
+
+
+@register(
+    "doc_fingerprint_shards",
+    """SELECT CAST(('0x' || substr(md5(text), 1, 1))::BIGINT AS INT) AS shard,
+              COUNT(*) AS n
+       FROM documents GROUP BY 1""",
+)
+def doc_fingerprint_shards(spark, sf_dir):
+    d = document_fingerprint(load(spark, sf_dir, "documents"))
+    return d.groupBy("shard").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "lang_distribution",
+    """SELECT lang, COUNT(*) AS n, ROUND(AVG(n_chars), 4) AS avg_chars
+       FROM documents GROUP BY lang""",
+)
+def lang_distribution(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.avg("n_chars"), 4).alias("avg_chars")
+    )
