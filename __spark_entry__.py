@@ -19,7 +19,11 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from sneller_spark import query_catalog, query_catalog_ml  # noqa: F401,E402
+from sneller_spark import (  # noqa: F401,E402
+    query_catalog,
+    query_catalog_extra,
+    query_catalog_ml,
+)
 from sneller_spark.query_catalog import CATALOG  # noqa: E402
 from sneller_spark.session import ship_package  # noqa: E402
 

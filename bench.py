@@ -1,0 +1,147 @@
+"""Benchmark harness.
+
+Measures (1) the flagship parse -> enrich -> route -> aggregate
+pipeline over a deterministically generated tokenized-sequence table,
+and (2) the headline operator queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...},
+   "sf": ..., "derived": {...}}
+
+Env:
+  SPARK_GRAFT_SF_DIR   parquet dir for catalog queries (default sf0.1)
+  SPARK_GRAFT_CPUS     local[N] parallelism (default 32)
+  SNELLER_BENCH_ROWS   pipeline input rows (default 1,000,000)
+
+Flags:
+  --pipeline-only      skip catalog queries (used by the N-vs-4N
+                       scaling harness, tools/bench_scaling.py)
+  --rows N             override SNELLER_BENCH_ROWS
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from sneller_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_ROWS = int(os.environ.get("SNELLER_BENCH_ROWS", "1000000"))
+BENCH_DATA = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_data")
+
+HEADLINE_QUERIES = [
+    "agg_q1_pricing_summary",
+    "broadcast_join_agg",
+    "join_three_way_star",
+    "window_topn_per_group",
+    "topk_orders",
+    "count_distinct_exact",
+    "explode_words_topk",
+    "scan_project_filter",
+    "docs_pipeline_route_agg",
+    "ann_cosine_topk_brute",
+    "minhash_lsh_candidates",
+    "time_bucket_epoch",
+]
+
+
+def ensure_input(spark, n_rows: int) -> str:
+    """Materialize the pipeline input once (generation is not timed)."""
+    path = os.path.join(BENCH_DATA, f"tokens_{n_rows}")
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        from sneller_spark.datagen import write_tokens_table
+
+        write_tokens_table(spark, path, n_rows, partitions=max(CPUS * 2, 16))
+    return path
+
+
+def bench_pipeline(spark, n_rows: int) -> dict:
+    from sneller_spark.pipeline.aggregate import aggregate_per_sink_salted
+    from sneller_spark.pipeline.route import write_routed
+    from sneller_spark.pipeline.runner import transform
+
+    path = ensure_input(spark, n_rows)
+    df = spark.read.parquet(path)
+
+    # warmup: JIT + python workers + broadcast, on a slice
+    aggregate_per_sink_salted(transform(spark, df.limit(20_000))).collect()
+
+    # aggregation path: explicit pruning — tokens feed the kernel but
+    # are not echoed back (see parse_stage passthrough)
+    agg_cols = ["doc_id", "source", "n_tok"]
+    t0 = time.monotonic()
+    agg = aggregate_per_sink_salted(transform(spark, df, passthrough=agg_cols))
+    total = agg.groupBy().sum("n_rows").collect()[0][0]
+    agg_sec = time.monotonic() - t0
+    assert total == n_rows, (total, n_rows)
+
+    out_tmp = os.path.join(BENCH_DATA, "_routed_bench_out")
+    shutil.rmtree(out_tmp, ignore_errors=True)
+    t0 = time.monotonic()
+    write_routed(transform(spark, df), out_tmp)
+    write_sec = time.monotonic() - t0
+    shutil.rmtree(out_tmp, ignore_errors=True)
+
+    return {
+        "pipeline_rows": n_rows,
+        "pipeline_agg_sec": round(agg_sec, 3),
+        "pipeline_agg_seq_per_sec": round(n_rows / agg_sec, 1),
+        "pipeline_e2e_write_sec": round(write_sec, 3),
+        "pipeline_e2e_write_seq_per_sec": round(n_rows / write_sec, 1),
+    }
+
+
+def bench_queries(spark, sf_dir: str) -> dict[str, float]:
+    from sneller_spark import query_catalog_ml  # noqa: F401
+    from sneller_spark.query_catalog import CATALOG
+
+    out: dict[str, float] = {}
+    for name in HEADLINE_QUERIES:
+        fn = CATALOG[name].fn
+        fn(spark, sf_dir).collect()  # warm (plan + IO cache)
+        t0 = time.monotonic()
+        fn(spark, sf_dir).collect()
+        out[name] = round(time.monotonic() - t0, 3)
+    return out
+
+
+def main() -> None:
+    pipeline_only = "--pipeline-only" in sys.argv
+    rows = BENCH_ROWS
+    if "--rows" in sys.argv:
+        rows = int(sys.argv[sys.argv.index("--rows") + 1])
+
+    spark = get_spark(
+        app_name="sneller_spark_bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=CPUS,
+    )
+    t_all = time.monotonic()
+    derived = bench_pipeline(spark, rows)
+    queries = {} if pipeline_only else bench_queries(spark, SF_DIR)
+    total_sec = round(time.monotonic() - t_all, 3)
+
+    result = {
+        "metric": "end-to-end pipeline seconds (parse->enrich->route->aggregate, "
+        f"{rows} sequences) + headline query seconds",
+        "value": derived["pipeline_agg_sec"],
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "cpus": CPUS,
+        "derived": derived,
+        "suite_total_sec": total_sec,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

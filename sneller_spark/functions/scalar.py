@@ -1,0 +1,223 @@
+"""Scalar builtin analogs of the reference's closed function set
+(/root/reference/expr/builtin.go:103-253).  Everything here is a
+Column-in/Column-out expression built from pyspark.sql.functions —
+JVM-side, codegen'd — except geo_hash, which is an Arrow-batched
+pandas UDF (bit-interleaving has no clean Catalyst expression).
+
+Functions Spark already ships 1:1 (CONCAT, TRIM, UPPER, SPLIT_PART,
+LEAST, WIDTH_BUCKET, DATE_TRUNC, ...) are used directly at call sites
+(see query_catalog.py) and are not re-wrapped here.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------
+# string predicates (CONTAINS_CI / EQUALS_CI / EQUALS_FUZZY —
+# expr/builtin.go:1086-1091, fuzzy/edit_distance_approx.go)
+# ---------------------------------------------------------------------
+
+def contains_ci(col: Column, needle: str) -> Column:
+    return F.contains(F.lower(col), F.lit(needle.lower()))
+
+
+def equals_ci(col: Column, other: str) -> Column:
+    return F.lower(col) == other.lower()
+
+
+def equals_fuzzy(a: Column, b: Column, max_edits: int = 2) -> Column:
+    """EQUALS_FUZZY: approximate equality within an edit-distance
+    budget.  The reference uses a SIMD approximation
+    (fuzzy/edit_distance_approx.go); exact levenshtein is strictly
+    stronger."""
+    return F.levenshtein(a, b) <= max_edits
+
+
+# ---------------------------------------------------------------------
+# IS_SUBNET_OF (expr/builtin.go:1092) — IPv4 bit math, no UDF
+# ---------------------------------------------------------------------
+
+def ip_to_long(ip: Column) -> Column:
+    """Dotted-quad IPv4 string -> uint32 as LONG (null on malformed)."""
+    parts = F.split(ip, r"\.")
+    # try_element_at: null (not an ANSI error) when a quad is missing
+    octets = [F.try_element_at(parts, F.lit(i + 1)).try_cast("long") for i in range(4)]
+    valid = F.size(parts) == 4
+    for o in octets:
+        valid = valid & o.isNotNull() & (o >= 0) & (o <= 255)
+    value = (
+        octets[0] * F.lit(16777216)
+        + octets[1] * F.lit(65536)
+        + octets[2] * F.lit(256)
+        + octets[3]
+    )
+    return F.when(valid, value)
+
+
+def is_subnet_of(cidr: str, ip: Column) -> Column:
+    """IS_SUBNET_OF('10.1.0.0/16', ip_col): true when ip falls inside
+    the CIDR block.  Mask math on longs — whole-stage codegen."""
+    net_s, bits_s = cidr.split("/")
+    bits = int(bits_s)
+    mask = ((1 << 32) - 1) ^ ((1 << (32 - bits)) - 1) if bits else 0
+    net = 0
+    for part in net_s.split("."):
+        net = (net << 8) | int(part)
+    net &= mask
+    return ip_to_long(ip).bitwiseAND(F.lit(mask)) == F.lit(net)
+
+
+# ---------------------------------------------------------------------
+# vector distances (expr/builtin.go:227-230) — higher-order array exprs
+# ---------------------------------------------------------------------
+
+def _fold_sum(col: Column) -> Column:
+    return F.aggregate(col, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def inner_product(a: Column, b: Column) -> Column:
+    return _fold_sum(F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")))
+
+
+def l1_distance(a: Column, b: Column) -> Column:
+    return _fold_sum(
+        F.zip_with(a, b, lambda x, y: F.abs(x.cast("double") - y.cast("double")))
+    )
+
+
+def l2_distance(a: Column, b: Column) -> Column:
+    return F.sqrt(
+        _fold_sum(
+            F.zip_with(
+                a, b,
+                lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")),
+            )
+        )
+    )
+
+
+def cosine_distance(a: Column, b: Column) -> Column:
+    return 1.0 - inner_product(a, b) / (
+        F.sqrt(inner_product(a, a)) * F.sqrt(inner_product(b, b))
+    )
+
+
+# ---------------------------------------------------------------------
+# DATE_BIN / TIME_BUCKET (expr/builtin.go:1155-1170)
+# ---------------------------------------------------------------------
+
+def time_bucket(ts: Column, seconds: int) -> Column:
+    """TIME_BUCKET(interval, ts) -> epoch-aligned bucket start (ts)."""
+    return F.timestamp_seconds(
+        F.floor(F.unix_timestamp(ts) / seconds) * seconds
+    )
+
+
+def date_bin(ts: Column, seconds: int, origin: str = "1970-01-01 00:00:00") -> Column:
+    """DATE_BIN(interval, ts, origin): floor ts into interval-sized
+    bins anchored at origin."""
+    og = F.unix_timestamp(F.lit(origin))
+    return F.timestamp_seconds(
+        F.floor((F.unix_timestamp(ts) - og) / seconds) * seconds + og
+    )
+
+
+# ---------------------------------------------------------------------
+# geo builtins (expr/builtin.go:1183-1188)
+# ---------------------------------------------------------------------
+
+def geo_distance_m(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Column:
+    """GEO_DISTANCE: haversine metres, pure column math."""
+    r = 6371008.8
+    p = math.pi / 180.0
+    dlat = (lat2 - lat1) * p / 2
+    dlon = (lon2 - lon1) * p / 2
+    a = F.sin(dlat) * F.sin(dlat) + F.cos(lat1 * p) * F.cos(lat2 * p) * F.sin(
+        dlon
+    ) * F.sin(dlon)
+    return 2 * r * F.asin(F.sqrt(a))
+
+
+def geo_tile_x(lon: Column, zoom: int) -> Column:
+    """GEO_TILE_X: web-mercator tile x at zoom."""
+    n = 1 << zoom
+    return F.floor((lon + 180.0) / 360.0 * n).cast("long")
+
+
+def geo_tile_y(lat: Column, zoom: int) -> Column:
+    """GEO_TILE_Y: web-mercator tile y at zoom."""
+    n = 1 << zoom
+    p = math.pi / 180.0
+    lat_rad = lat * p
+    y = (1.0 - F.log(F.tan(lat_rad) + 1.0 / F.cos(lat_rad)) / math.pi) / 2.0
+    return F.floor(y * n).cast("long")
+
+
+def geo_tile_es(lat: Column, lon: Column, zoom: int) -> Column:
+    """GEO_TILE_ES: Elasticsearch-style 'zoom/x/y' tile key."""
+    return F.concat_ws(
+        "/", F.lit(str(zoom)), geo_tile_x(lon, zoom).cast("string"),
+        geo_tile_y(lat, zoom).cast("string")
+    )
+
+
+_GEOHASH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def _geohash_kernel(lat, lon, precision: int):
+    import numpy as np
+    import pandas as pd
+
+    lat = np.asarray(lat, dtype=np.float64)
+    lon = np.asarray(lon, dtype=np.float64)
+    nbits = precision * 5
+    # interleave lon/lat bits via iterative bisection, fully vectorized
+    lat_lo = np.full_like(lat, -90.0)
+    lat_hi = np.full_like(lat, 90.0)
+    lon_lo = np.full_like(lon, -180.0)
+    lon_hi = np.full_like(lon, 180.0)
+    bits = np.zeros((len(lat), nbits), dtype=np.uint8)
+    for i in range(nbits):
+        if i % 2 == 0:  # even bit: longitude
+            mid = (lon_lo + lon_hi) / 2
+            b = lon >= mid
+            lon_lo = np.where(b, mid, lon_lo)
+            lon_hi = np.where(b, lon_hi, mid)
+        else:
+            mid = (lat_lo + lat_hi) / 2
+            b = lat >= mid
+            lat_lo = np.where(b, mid, lat_lo)
+            lat_hi = np.where(b, lat_hi, mid)
+        bits[:, i] = b
+    chars = np.zeros((len(lat), precision), dtype=np.int64)
+    for i in range(nbits):
+        chars[:, i // 5] = chars[:, i // 5] * 2 + bits[:, i]
+    lut = np.array(list(_GEOHASH32))
+    out = lut[chars]
+    return pd.Series(["".join(row) for row in out])
+
+
+_geohash_udf_cache: dict[int, object] = {}
+
+
+def geo_hash(lat: Column, lon: Column, precision: int = 7) -> Column:
+    """GEO_HASH: standard base32 geohash.  Bit interleaving is an
+    Arrow-batched pandas UDF (numpy-vectorized bisection; the only
+    per-row python is the final string join over `precision` chars)."""
+    if precision not in _geohash_udf_cache:
+        def _kernel(lat_s: "pd.Series", lon_s: "pd.Series") -> "pd.Series":
+            return _geohash_kernel(lat_s, lon_s, precision)
+
+        # annotations must resolve at registration (PEP 563 strings):
+        _kernel.__annotations__ = {"lat_s": pd.Series, "lon_s": pd.Series,
+                                   "return": pd.Series}
+        _udf = F.pandas_udf("string")(_kernel)
+
+        _geohash_udf_cache[precision] = _udf
+    return _geohash_udf_cache[precision](lat, lon)

@@ -11,18 +11,39 @@ a batch" execution shape from pyarrow compute:
              — two C++ kernels, zero per-row Python;
   * extract: ``pc.extract_regex`` — RE2 over the whole Arrow column.
 
+Boundary design (measured, see BENCH/BASELINE.md): the JVM<->Python
+boundary dominates parse cost, and the expensive part is not the Arrow
+IPC itself but the Arrow->pandas "objectification" of the list<int32>
+column (one numpy object per row).  The default kernel is therefore
+``mapInArrow`` — RecordBatches in, RecordBatches out, zero pandas —
+measured 3.3x faster than the struct-returning ``pandas_udf`` variant
+at identical results.  Because ``mapInArrow`` replaces the row set,
+column pruning must be explicit: ``passthrough`` names the columns the
+downstream plan needs; an aggregation-only consumer passes the narrow
+set so the heavy tokens column is read once and never echoed back.
+(``parse_stage_struct_udf`` keeps the pandas_udf form, where Catalyst
+does that pruning automatically, as the composable/scalar variant.)
+
+``parse_stage_jvm`` is the pure-Catalyst alternative (literal vocab
+array + regexp_extract, whole-stage codegen, no Python at all).  It
+produces identical results but measured 4-7x slower — Java regex plus
+a per-extract re-decode — which is exactly the reference's thesis that
+a vectorized kernel layer beats naive per-engine evaluation
+(/root/reference/README.md:10-11).  Kept as a tested fallback for
+UDF-less deployments.
+
 No-match rows carry null extracted fields (Sneller's MISSING -> our
 null; /root/reference/doc/sneller-SQL.md:109-143, SURVEY.md §2.2).
 """
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from ..vocab import PATTERN_BANK, build_vocab
 
@@ -35,7 +56,8 @@ _ARROW_PATTERNS: dict[str, tuple[str, str]] = {
 }
 assert set(_ARROW_PATTERNS) == set(PATTERN_BANK)
 
-PARSED_FIELDS_SCHEMA = "level string, code int, ip string, lat_ms int"
+PARSED_FIELDS = ["level", "code", "ip", "lat_ms"]
+PARSED_STRUCT = "level string, code int, ip string, lat_ms int"
 
 _vocab_pa: pa.Array | None = None
 
@@ -47,13 +69,30 @@ def _vocab_arrow() -> pa.Array:
     return _vocab_pa
 
 
+def tokens_series_to_arrow(tokens: pd.Series) -> pa.ListArray:
+    """pandas series of int32 numpy arrays -> arrow list<int32>,
+    via one concatenate + offsets (no per-row python iteration)."""
+    vals = tokens.to_numpy()
+    n = len(vals)
+    if n == 0:
+        return pa.ListArray.from_arrays(pa.array([0], type=pa.int32()),
+                                        pa.array([], type=pa.int32()))
+    lens = np.fromiter((len(v) for v in vals), dtype=np.int64, count=n)
+    flat = np.concatenate(vals)
+    offsets = np.zeros(n + 1, dtype=np.int32)
+    np.cumsum(lens, out=offsets[1:])
+    return pa.ListArray.from_arrays(
+        pa.array(offsets, type=pa.int32()),
+        pa.array(flat.astype(np.int32, copy=False), type=pa.int32()),
+    )
+
+
 def decode_tokens_arrow(tokens: pa.Array) -> pa.Array:
     """list<int32> token ids -> utf8 decoded text, vectorized."""
     if isinstance(tokens, pa.ChunkedArray):
         tokens = tokens.combine_chunks()
     words = pc.take(_vocab_arrow(), tokens.values)
-    offsets = tokens.offsets
-    word_lists = pa.ListArray.from_arrays(offsets, words)
+    word_lists = pa.ListArray.from_arrays(tokens.offsets, words)
     return pc.binary_join(word_lists, " ")
 
 
@@ -69,26 +108,76 @@ def extract_fields_arrow(text: pa.Array) -> dict[str, pa.Array]:
     return out
 
 
-def parse_batch(pdf: pd.DataFrame, keep_text: bool = False) -> pd.DataFrame:
-    """Arrow-vectorized parse of one pandas batch (used inside
-    mapInPandas and directly in tests)."""
-    tokens = pa.array(pdf["tokens"], type=pa.list_(pa.int32()))
-    text = decode_tokens_arrow(tokens)
-    fields = extract_fields_arrow(text)
-    out = pdf.copy()
-    if keep_text:
-        out["text"] = text.to_pandas()
-    for name, arr in fields.items():
-        out[name] = pd.array(arr, dtype=pd.ArrowDtype(arr.type))
+def _fields_to_pandas(fields: dict[str, pa.Array]) -> pd.DataFrame:
+    return pd.DataFrame(
+        {k: pd.array(v, dtype=pd.ArrowDtype(v.type)) for k, v in fields.items()}
+    )
+
+
+def _parse_tokens_kernel(tokens: pd.Series) -> pd.DataFrame:
+    pa.set_cpu_count(1)  # one worker per core already; avoid thread thrash
+    arr = tokens_series_to_arrow(tokens)
+    return _fields_to_pandas(extract_fields_arrow(decode_tokens_arrow(arr)))
+
+
+def _parse_tokens_kernel_with_text(tokens: pd.Series) -> pd.DataFrame:
+    pa.set_cpu_count(1)
+    arr = tokens_series_to_arrow(tokens)
+    text = decode_tokens_arrow(arr)
+    out = _fields_to_pandas(extract_fields_arrow(text))
+    out.insert(0, "text", pd.array(text, dtype=pd.ArrowDtype(pa.string())))
     return out
 
 
-def parse_stage(df, keep_text: bool = False):
-    """DataFrame (doc_id, tokens, n_tok, source, ...) -> same plus
-    extracted pattern-bank fields (level, code, ip, lat_ms)."""
+_udf_cache: dict[str, object] = {}
+
+
+def _get_udf(keep_text: bool):
+    # pandas_udf parses its DDL schema eagerly, so the udf object must
+    # be built lazily (after a SparkSession exists), once per process
+    key = "with_text" if keep_text else "plain"
+    if key not in _udf_cache:
+        if keep_text:
+            _udf_cache[key] = F.pandas_udf("text string, " + PARSED_STRUCT)(
+                _parse_tokens_kernel_with_text
+            )
+        else:
+            _udf_cache[key] = F.pandas_udf(PARSED_STRUCT)(_parse_tokens_kernel)
+    return _udf_cache[key]
+
+
+def parse_stage_struct_udf(df: DataFrame, keep_text: bool = False) -> DataFrame:
+    """Scalar-UDF form: tokens in, struct of extracted fields out.
+    Catalyst prunes unused columns around it automatically; slower than
+    the mapInArrow form because the serializer objectifies the list
+    column into per-row numpy arrays."""
+    udf = _get_udf(keep_text)
+    return (
+        df.withColumn("_parsed", udf("tokens"))
+        .select("*", "_parsed.*")
+        .drop("_parsed")
+    )
+
+
+def parse_stage(
+    df: DataFrame, keep_text: bool = False, passthrough: list[str] | None = None
+) -> DataFrame:
+    """DataFrame (doc_id, tokens, n_tok, source, ...) -> passthrough
+    columns plus extracted pattern-bank fields (level, code, ip,
+    lat_ms).  Arrow-native end to end (mapInArrow).
+
+    ``passthrough`` is the explicit column-pruning handle: pass the
+    narrow set your consumer needs (e.g. ["doc_id", "source", "n_tok"]
+    for aggregation) and the tokens column is consumed by the kernel
+    without being echoed back through the IPC boundary."""
     from pyspark.sql import types as T
 
-    fields = list(df.schema.fields)
+    in_cols = list(df.columns) if passthrough is None else list(passthrough)
+    needed = list(dict.fromkeys(in_cols + ["tokens"]))
+    projected = df.select(*needed)
+    in_schema = {f.name: f for f in projected.schema.fields}
+
+    fields = [in_schema[c] for c in in_cols]
     if keep_text:
         fields.append(T.StructField("text", T.StringType()))
     fields += [
@@ -98,16 +187,75 @@ def parse_stage(df, keep_text: bool = False):
         T.StructField("lat_ms", T.IntegerType()),
     ]
     out_schema = T.StructType(fields)
+    out_names = [f.name for f in fields]
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if len(pdf):
-                yield parse_batch(pdf, keep_text=keep_text)
+    def run(batches):
+        pa.set_cpu_count(1)
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            tokens = b.column("tokens")
+            if isinstance(tokens, pa.ChunkedArray):  # defensive
+                tokens = tokens.combine_chunks()
+            text = decode_tokens_arrow(tokens)
+            extracted = extract_fields_arrow(text)
+            cols = [b.column(c) for c in in_cols]
+            if keep_text:
+                cols.append(text)
+            cols += [extracted[n] for n in PARSED_FIELDS]
+            yield pa.RecordBatch.from_arrays(cols, names=out_names)
 
-    return df.mapInPandas(run, schema=out_schema)
+    return projected.mapInArrow(run, schema=out_schema)
+
+
+# ---------------------------------------------------------------------
+# pure-Catalyst alternative (no Python boundary)
+# ---------------------------------------------------------------------
+
+_JVM_PATTERNS: dict[str, tuple[str, str | None]] = {
+    "level": (r"\bLEVEL=(DEBUG|INFO|WARN|ERROR)\b", None),
+    "code": (r"\bcode=(\d{3})\b", "int"),
+    "ip": (r"\b(\d{1,3}(?:\.\d{1,3}){3})\b", None),
+    "lat_ms": (r"\blat_ms=(\d+)\b", "int"),
+}
+
+
+def parse_stage_jvm(df: DataFrame, keep_text: bool = False) -> DataFrame:
+    """Whole-stage-codegen parse: vocab as a literal array column,
+    decode via transform+element_at+array_join, extract via
+    regexp_extract.  Identical semantics to parse_stage (tested); kept
+    for environments where Python workers are unavailable."""
+    vlit = F.lit(build_vocab().tolist())
+    text = F.array_join(
+        F.transform(F.col("tokens"), lambda t: F.element_at(vlit, t + F.lit(1))), " "
+    )
+    out = df.withColumn("_text", text)
+    cols = []
+    for name, (pattern, cast) in _JVM_PATTERNS.items():
+        c = F.regexp_extract(F.col("_text"), pattern, 1)
+        c = F.when(c == "", None).otherwise(c)
+        if cast:
+            c = c.cast(cast)
+        cols.append(c.alias(name))
+    out = out.select("*", *cols)
+    return out.withColumnRenamed("_text", "text") if keep_text else out.drop("_text")
 
 
 def decode_texts_np(token_arrays: list[np.ndarray]) -> list[str]:
     """Convenience: decode a list of numpy token arrays to strings."""
     arr = pa.array(token_arrays, type=pa.list_(pa.int32()))
     return decode_tokens_arrow(arr).to_pylist()
+
+
+def parse_batch(pdf: pd.DataFrame, keep_text: bool = False) -> pd.DataFrame:
+    """Arrow-vectorized parse of one pandas batch (kernel-level entry,
+    used by unit tests and the oracle cross-check)."""
+    arr = tokens_series_to_arrow(pdf["tokens"])
+    text = decode_tokens_arrow(arr)
+    fields = extract_fields_arrow(text)
+    out = pdf.copy()
+    if keep_text:
+        out["text"] = text.to_pandas()
+    for name, arr2 in fields.items():
+        out[name] = pd.array(arr2, dtype=pd.ArrowDtype(arr2.type))
+    return out

@@ -35,11 +35,18 @@ def transform(
     df: DataFrame,
     lookup: DataFrame | None = None,
     rules: DataFrame | None = None,
+    passthrough: list[str] | None = None,
 ) -> DataFrame:
-    """The pure transformation: input rows -> routed, enriched rows."""
+    """The pure transformation: input rows -> routed, enriched rows.
+
+    ``passthrough`` limits which input columns survive the parse kernel
+    (explicit column pruning through the Arrow boundary): routing sinks
+    need everything (default); an aggregation-only consumer should pass
+    ["doc_id", "source", "n_tok"] so the tokens column is never echoed
+    back out of the kernel."""
     lookup = lookup if lookup is not None else lookup_source_df(spark)
     rules = rules if rules is not None else route_rules_df(spark)
-    return route_stage(enrich_stage(parse_stage(df), lookup), rules)
+    return route_stage(enrich_stage(parse_stage(df, passthrough=passthrough), lookup), rules)
 
 
 def list_units(input_path: str) -> list[tuple[str, list[str]]]:

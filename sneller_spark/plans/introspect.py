@@ -1,0 +1,79 @@
+"""Physical-plan introspection — the Spark analog of the reference's
+plan-shape assertions (`matchPlan` regexes and `expectBytes` pruning
+checks in /root/reference/plan/exec_test.go:287-2040).
+
+The reference proves its optimizer worked by matching the rendered
+plan; we do the same against `df.explain("formatted")`: filters reached
+the parquet scan (PushedFilters), the scan reads only needed columns
+(ReadSchema), small joins went broadcast, and the Arrow kernel appears
+exactly once (no accidental UDF duplication through projection
+collapse).
+"""
+
+from __future__ import annotations
+
+import io
+import re
+from contextlib import redirect_stdout
+
+from pyspark.sql import DataFrame
+
+
+def explain_str(df: DataFrame, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """Filters that reached the parquet scan."""
+    text = explain_str(df)
+    out: list[str] = []
+    for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", text):
+        out += [f.strip() for f in m.group(1).split(",") if f.strip()]
+    return out
+
+
+def scan_read_schema(df: DataFrame) -> list[str]:
+    """Column names in the scan's ReadSchema (column pruning proof)."""
+    text = explain_str(df)
+    cols: list[str] = []
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", text):
+        cols += [c.split(":")[0].strip() for c in m.group(1).split(",") if c.strip()]
+    return cols
+
+
+def assert_pushed_filters(df: DataFrame, *needles: str) -> None:
+    got = pushed_filters(df)
+    for needle in needles:
+        assert any(needle in f for f in got), f"filter {needle!r} not pushed; got {got}"
+
+
+def assert_broadcast_join(df: DataFrame, count: int = 1) -> None:
+    text = explain_str(df)
+    n = text.count("BroadcastHashJoin")
+    assert n >= count, f"expected >={count} BroadcastHashJoin, found {n}"
+    assert "SortMergeJoin" not in text, "unexpected shuffle (sort-merge) join in plan"
+
+
+def assert_single_arrow_eval(df: DataFrame) -> None:
+    """The parse kernel must appear exactly once — projection collapse
+    must not duplicate the Python UDF per extracted field."""
+    text = explain_str(df)
+    n = len(re.findall(r"\(\d+\) ArrowEvalPython", text))
+    assert n == 1, f"expected exactly 1 ArrowEvalPython, found {n}"
+
+
+def assert_single_python_boundary(df: DataFrame) -> None:
+    """Exactly one Python crossing in the whole plan (ArrowEvalPython
+    for scalar UDFs or PythonMapInArrow for the mapInArrow kernel)."""
+    text = explain_str(df)
+    n = len(re.findall(r"\(\d+\) (ArrowEvalPython|PythonMapInArrow|MapInArrow)", text))
+    assert n == 1, f"expected exactly 1 python boundary, found {n}:\n{text[:2000]}"
+
+
+def assert_no_python_in_plan(df: DataFrame) -> None:
+    text = explain_str(df)
+    for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas", "PythonMapInArrow"):
+        assert marker not in text, f"unexpected python boundary: {marker}"

@@ -1,0 +1,243 @@
+"""Second wave of catalog entries: heavier join/aggregate shapes
+(TPC-H-style), sessionization, pivot, array/struct builtins, and the
+SNELLER_DATASHAPE schema-profiling analog."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from .query_catalog import load, register
+
+# =====================================================================
+# heavier join/aggregate shapes
+# =====================================================================
+
+@register(
+    "q3_shipping_priority",
+    """SELECT l.l_orderkey,
+              ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+              strftime(o.o_orderdate, '%Y-%m-%d') AS odate
+       FROM customer c
+       JOIN orders o ON c.c_custkey = o.o_custkey
+       JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+       WHERE c.c_mktsegment = 'BUILDING'
+         AND o.o_orderdate < TIMESTAMP '1996-01-01'
+         AND l.l_shipdate > TIMESTAMP '1996-01-01'
+       GROUP BY l.l_orderkey, o.o_orderdate
+       ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+)
+def q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: selective filters on both join sides, aggregate,
+    top-k — exercises filter pushdown + broadcast + TakeOrdered."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1996-01-01")
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1996-01-01")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("odate"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "pivot_status_by_flag",
+    """SELECT l_returnflag,
+              CAST(SUM(l_quantity) FILTER (WHERE l_linestatus = 'O') AS DOUBLE) AS O,
+              CAST(SUM(l_quantity) FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS F
+       FROM lineitem GROUP BY l_returnflag""",
+)
+def pivot_status_by_flag(spark, sf_dir):
+    """PIVOT — not in the reference grammar; native Spark upside."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .sum("l_quantity")
+    )
+
+
+@register(
+    "sessionization_gaps",
+    """WITH gaps AS (
+         SELECT user_id, ts,
+                CASE WHEN epoch(ts) - epoch(LAG(ts) OVER w) > 1800
+                          OR LAG(ts) OVER w IS NULL
+                     THEN 1 ELSE 0 END AS new_sess
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       ), sess AS (
+         SELECT user_id,
+                SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+         FROM gaps
+       )
+       SELECT user_id, CAST(session_id AS BIGINT) AS session_id, COUNT(*) AS n_events
+       FROM sess GROUP BY user_id, session_id""",
+)
+def sessionization_gaps(spark, sf_dir):
+    """Sessionization: 30-min-gap sessions via lag + running sum —
+    the lakehouse-standard composition (no native operator needed)."""
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.withColumn(
+        "new_sess",
+        F.when(
+            (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)) > 1800)
+            | F.lag("ts").over(w).isNull(),
+            1,
+        ).otherwise(0),
+    )
+    sess = gaps.withColumn(
+        "session_id",
+        F.sum("new_sess").over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+
+
+@register(
+    "hash_lookup_inline",
+    """SELECT event_type,
+              CASE event_type WHEN 'click' THEN 10 WHEN 'view' THEN 1
+                              WHEN 'purchase' THEN 100 ELSE -1 END AS weight,
+              COUNT(*) AS n
+       FROM events GROUP BY event_type""",
+)
+def hash_lookup_inline(spark, sf_dir):
+    """HASH_LOOKUP constant map with else-default
+    (expr/node.go:1656-1743) -> element_at(create_map(...))."""
+    ev = load(spark, sf_dir, "events")
+    m = F.create_map(
+        F.lit("click"), F.lit(10), F.lit("view"), F.lit(1), F.lit("purchase"), F.lit(100)
+    )
+    return ev.groupBy(
+        "event_type",
+        F.coalesce(F.element_at(m, F.col("event_type")), F.lit(-1)).alias("weight"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+# =====================================================================
+# array / struct builtins (expr/builtin.go:1190-1216)
+# =====================================================================
+
+@register(
+    "array_functions",
+    """SELECT doc_id,
+              len(string_split(text, ' ')) AS n_words,
+              list_contains(string_split(text, ' '), 'spark') AS has_spark,
+              COALESCE(list_position(string_split(text, ' '), 'spark'), 0) AS pos_spark,
+              len(string_split(text, ' ')[1:5]) AS head_len
+       FROM documents WHERE doc_id < 200""",
+)
+def array_functions(spark, sf_dir):
+    """SIZE/ARRAY_CONTAINS/ARRAY_POSITION + slice (MAKE_LIST family)."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    words = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(words).alias("n_words"),
+        F.array_contains(words, "spark").alias("has_spark"),
+        F.array_position(words, "spark").cast("bigint").alias("pos_spark"),
+        F.size(F.slice(words, 1, 5)).alias("head_len"),
+    )
+
+
+@register(
+    "struct_make_and_access",
+    """SELECT o_orderkey,
+              struct_extract(struct_pack(k := o_orderkey, p := o_totalprice), 'p') AS price_out,
+              struct_extract(struct_pack(k := o_orderkey, p := o_totalprice), 'k') AS key_out
+       FROM orders WHERE o_orderkey <= 1000""",
+)
+def struct_make_and_access(spark, sf_dir):
+    """MAKE_STRUCT + path deref round trip (expr/builtin.go:1210,
+    expr/node.go:1206-1349)."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1000)
+    s = F.struct(F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("p"))
+    return o.select(
+        "o_orderkey",
+        s.getField("p").alias("price_out"),
+        s.getField("k").alias("key_out"),
+    )
+
+
+@register(
+    "array_sum_fold",
+    """SELECT vec_id,
+              ROUND(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x)), 4) AS vec_sum,
+              ROUND(list_max(CAST(embedding AS DOUBLE[])), 4) AS vec_max
+       FROM embeddings WHERE vec_id < 100""",
+)
+def array_sum_fold(spark, sf_dir):
+    """ARRAY_SUM via fold (expr/builtin.go:1194)."""
+    e = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    return e.select(
+        "vec_id",
+        F.round(
+            F.aggregate(
+                F.transform("embedding", lambda x: x.cast("double")),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ),
+            4,
+        ).alias("vec_sum"),
+        F.round(F.array_max(F.transform("embedding", lambda x: x.cast("double"))), 4).alias(
+            "vec_max"
+        ),
+    )
+
+
+@register(
+    "octet_char_length",
+    """SELECT c_custkey,
+              strlen(c_name) AS olen,
+              length(c_name) AS clen
+       FROM customer""",
+)
+def octet_char_length(spark, sf_dir):
+    """OCTET_LENGTH / CHAR_LENGTH (expr/builtin.go:1090-1091)."""
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.octet_length("c_name").alias("olen"),
+        F.char_length("c_name").alias("clen"),
+    )
+
+
+# =====================================================================
+# SNELLER_DATASHAPE analog (vm/sysdatashape.go:24-80)
+# =====================================================================
+
+@register("datashape_profile", None)  # typeof() strings differ per engine
+def datashape_profile(spark, sf_dir):
+    """Schema-profiling aggregate: per-field (type, null/missing)
+    histogram — the reference's SNELLER_DATASHAPE.  Engine-specific
+    type names make an exact oracle impossible; pytest covers it."""
+    ev = load(spark, sf_dir, "events")
+    fields = []
+    for c in ev.columns:
+        fields.append(
+            F.struct(
+                F.lit(c).alias("field"),
+                F.expr(f"typeof({c})").alias("type"),
+                F.col(c).isNull().cast("int").alias("is_null"),
+            )
+        )
+    exploded = ev.select(F.explode(F.array(*fields)).alias("f"))
+    return exploded.groupBy("f.field", "f.type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("f.is_null").alias("n_null")
+    )

@@ -1,0 +1,17 @@
+from .readers import (
+    append_tables,
+    dummy_output,
+    no_output,
+    read_table,
+    table_glob,
+    write_iceberg_or_parquet,
+)
+
+__all__ = [
+    "read_table",
+    "table_glob",
+    "append_tables",
+    "no_output",
+    "dummy_output",
+    "write_iceberg_or_parquet",
+]

@@ -1,0 +1,137 @@
+"""Dedup / similarity / text operators vs naive python references."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sneller_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_similarity_pairs,
+    minhash_candidate_pairs,
+    minhash_signatures,
+    simhash_fingerprint,
+)
+from sneller_spark.operators.similarity import brute_force_cosine_topk, lsh_bucketed_topk
+from sneller_spark.operators.text import (
+    document_fingerprint,
+    language_id,
+    quality_features,
+    token_count,
+)
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (1, "the quick brown fox jumps over the lazy dog near the river bend"),  # near-dup of 0
+    (2, "completely different content about spark query engines and joins"),
+    (3, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup of 0
+    (4, "der schnelle braune fuchs springt ueber den faulen hund am fluss"),
+    (5, "el rapido zorro marron salta sobre el perro perezoso junto al rio"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_exact_dedup(spark, docs_df):
+    groups = exact_dedup(docs_df, "doc_id", "text").toPandas()
+    assert len(groups) == 5  # 6 docs, one exact duplicate pair
+    dup = groups[groups.n_copies > 1]
+    assert len(dup) == 1 and dup.iloc[0]["keep_id"] == 0 and dup.iloc[0]["n_copies"] == 2
+
+
+def test_minhash_near_dup_detection(spark, docs_df):
+    sigs = minhash_signatures(docs_df, "doc_id", "text", n_hashes=16, shingle_k=3)
+    pdf = sigs.toPandas().set_index("id").sort_index()
+    # exact dups share the whole signature
+    assert (pdf.loc[0] == pdf.loc[3]).all()
+    # near-dups share most minhashes; unrelated docs share almost none
+    near = (pdf.loc[0] == pdf.loc[1]).mean()
+    far = (pdf.loc[0] == pdf.loc[2]).mean()
+    assert near > 0.5 > far
+
+    pairs = minhash_candidate_pairs(sigs, n_hashes=16, bands=8).toPandas()
+    pairset = {(a, b) for a, b in zip(pairs.id_a, pairs.id_b)}
+    assert (0, 3) in pairset and (0, 1) in pairset
+    assert (0, 2) not in pairset and (4, 5) not in pairset
+
+
+def test_simhash(spark, docs_df):
+    fp = simhash_fingerprint(docs_df, "doc_id", "text", bits=32).toPandas()
+    fp = fp.set_index("id")["simhash"]
+    assert fp.loc[0] == fp.loc[3]  # exact dup -> identical fingerprint
+
+    def hamming(a, b):
+        return bin(int(a) ^ int(b)).count("1")
+
+    assert hamming(fp.loc[0], fp.loc[1]) < hamming(fp.loc[0], fp.loc[2])
+
+
+def test_jaccard_pairs_exact_math(spark, docs_df):
+    got = jaccard_similarity_pairs(docs_df, "doc_id", "text", shingle_k=3, min_sim=0.1)
+    got = got.toPandas().set_index(["id_a", "id_b"])
+
+    def shingles(t, k=3):
+        w = t.split()
+        return {" ".join(w[i : i + k]) for i in range(len(w) - k + 1)}
+
+    for (a, b), row in got.iterrows():
+        sa, sb = shingles(DOCS[a][1]), shingles(DOCS[b][1])
+        exp = len(sa & sb) / len(sa | sb)
+        assert abs(row["jaccard"] - exp) < 1e-6, (a, b)
+    assert (0, 3) in got.index and (0, 1) in got.index
+
+
+def test_brute_force_cosine_matches_numpy(spark):
+    rng = np.random.Generator(np.random.PCG64(7))
+    vecs = rng.standard_normal((200, 16)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)], ["vec_id", "embedding"]
+    )
+    q = vecs[0].astype(np.float64)
+    got = brute_force_cosine_topk(df, q.tolist(), k=5, round_digits=None).toPandas()
+    sims = (vecs.astype(np.float64) @ q) / (
+        np.linalg.norm(vecs.astype(np.float64), axis=1) * np.linalg.norm(q)
+    )
+    exp_ids = np.argsort(-sims, kind="stable")[:5]
+    assert list(got["vec_id"]) == list(exp_ids)
+    assert got.iloc[0]["vec_id"] == 0 and abs(got.iloc[0]["cos_sim"] - 1.0) < 1e-9
+    np.testing.assert_allclose(got["cos_sim"].to_numpy(), sims[exp_ids], atol=1e-9)
+
+
+def test_lsh_topk_contains_query_and_ranks(spark):
+    rng = np.random.Generator(np.random.PCG64(11))
+    vecs = rng.standard_normal((300, 16)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)], ["vec_id", "embedding"]
+    )
+    q = vecs[42].tolist()
+    got = lsh_bucketed_topk(df, q, k=5, n_planes=6, probe_hamming=1).toPandas()
+    assert got.iloc[0]["vec_id"] == 42  # the query's own vector survives pruning
+    assert list(got["cos_sim"]) == sorted(got["cos_sim"], reverse=True)
+
+
+def test_text_analysis(spark, docs_df):
+    q = quality_features(docs_df).toPandas().set_index("doc_id")
+    assert q.loc[0, "n_words"] == len(DOCS[0][1].split())
+    assert q.loc[0, "stopword_ratio"] > q.loc[4, "stopword_ratio"]  # en vs de stopwords
+
+    t = token_count(docs_df).toPandas().set_index("doc_id")
+    assert (t["n_bpe_tokens"] >= t["n_ws_tokens"]).all()
+
+    lid = language_id(docs_df).toPandas().set_index("doc_id")
+    assert lid.loc[0, "lang_pred"] == "en"
+    assert lid.loc[4, "lang_pred"] == "de"
+    assert lid.loc[5, "lang_pred"] == "es"
+
+    fp = document_fingerprint(docs_df).toPandas().set_index("doc_id")
+    assert fp.loc[0, "fingerprint"] == fp.loc[3, "fingerprint"]
+    assert fp.loc[0, "fingerprint"] != fp.loc[1, "fingerprint"]
+    assert fp["shard"].between(0, 15).all()
+
+    import hashlib
+
+    assert fp.loc[0, "fingerprint"] == hashlib.md5(DOCS[0][1].encode()).hexdigest()

