@@ -241,3 +241,125 @@ def datashape_profile(spark, sf_dir):
     return exploded.groupBy("f.field", "f.type").agg(
         F.count(F.lit(1)).alias("n"), F.sum("f.is_null").alias("n_null")
     )
+
+
+# =====================================================================
+# inventory gap-fill (SURVEY.md §2 line items)
+# =====================================================================
+
+@register(
+    "count_star_metadata",
+    "SELECT COUNT(*) AS n FROM lineitem",
+)
+def count_star_metadata(spark, sf_dir):
+    """CountStar — the reference answers COUNT(*) from index metadata
+    (plan/plan.go:649-672); Spark answers it from parquet row-group
+    stats without reading data columns (LocalLimit over statistics)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "select_star_passthrough",
+    """SELECT doc_id, lang, source, n_chars, text
+       FROM documents WHERE doc_id < 50""",
+)
+def select_star_passthrough(spark, sf_dir):
+    """Star passthrough of the whole record (expr/node.go:1350-1373)."""
+    return load(spark, sf_dir, "documents").filter(F.col("doc_id") < 50).select(
+        "doc_id", "lang", "source", "n_chars", "text"
+    )
+
+
+@register(
+    "is_null_true_false",
+    """SELECT
+         CAST(SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+         CAST(SUM(CASE WHEN k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_not_null,
+         CAST(SUM(CASE WHEN (k > 50) IS TRUE THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+         CAST(SUM(CASE WHEN (k > 50) IS FALSE THEN 1 ELSE 0 END) AS BIGINT) AS n_false
+       FROM (SELECT NULLIF(TRY_CAST(regexp_extract(props, 'k": (\\d+)', 1) AS INT) % 97, 0) AS k
+             FROM events)""",
+)
+def is_null_true_false(spark, sf_dir):
+    """IsKey: IS NULL / IS NOT NULL / IS TRUE / IS FALSE
+    (expr/node.go:2678-2886) over a column with real nulls."""
+    ev = load(spark, sf_dir, "events")
+    k = F.nullif(
+        F.regexp_extract("props", r'k": (\d+)', 1).try_cast("int") % 97, F.lit(0)
+    )
+    kdf = ev.select(k.alias("k"))
+    pred = F.col("k") > 50
+    return kdf.agg(
+        F.sum(F.when(F.col("k").isNull(), 1).otherwise(0)).alias("n_null"),
+        F.sum(F.when(F.col("k").isNotNull(), 1).otherwise(0)).alias("n_not_null"),
+        F.sum(F.when(pred.eqNullSafe(F.lit(True)), 1).otherwise(0)).alias("n_true"),
+        F.sum(F.when(pred.eqNullSafe(F.lit(False)), 1).otherwise(0)).alias("n_false"),
+    )
+
+
+@register(
+    "ilike_case_insensitive",
+    """SELECT lang, COUNT(*) AS n FROM documents
+       WHERE text ILIKE '%THE FAST%' GROUP BY lang""",
+)
+def ilike_case_insensitive(spark, sf_dir):
+    """ILIKE / CONTAINS_CI (expr/node.go:1789-1888)."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.filter(F.col("text").ilike("%THE FAST%"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "unpivot_dynamic_json",
+    """SELECT key, COUNT(*) AS n,
+              CAST(SUM(TRY_CAST(json_extract_string(props, key) AS INT)) AS BIGINT) AS sum_val
+       FROM (SELECT props, unnest(json_keys(props)) AS key FROM events)
+       GROUP BY key""",
+)
+def unpivot_dynamic_json(spark, sf_dir):
+    """UnpivotAtDistinct over dynamic structs (vm/unpivot.go:40-536):
+    explode each record's *fields* into (key, value) rows without a
+    fixed schema — from_json to a map + explode(map_entries)."""
+    ev = load(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,int>")
+    return (
+        ev.select(F.explode(F.map_entries(m)).alias("kv"))
+        .groupBy(F.col("kv.key").alias("key"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("kv.value").alias("sum_val"),
+        )
+    )
+
+
+@register(
+    "ip_subnet_filter",
+    """SELECT COUNT(*) AS n_in_subnet FROM (
+         SELECT '10.' || CAST(user_id % 4 AS VARCHAR) || '.' ||
+                CAST(event_id % 256 AS VARCHAR) || '.1' AS ip
+         FROM events)
+       WHERE CAST(string_split(ip, '.')[1] AS BIGINT) = 10
+         AND CAST(string_split(ip, '.')[2] AS BIGINT) = 1""",
+)
+def ip_subnet_filter(spark, sf_dir):
+    """IS_SUBNET_OF (expr/builtin.go:1092) — CIDR membership as pure
+    bit math on IPv4 strings (functions/scalar.py); the oracle checks
+    the same membership via octet comparison."""
+    from .functions import is_subnet_of
+
+    ev = load(spark, sf_dir, "events")
+    ip = F.concat_ws(
+        ".",
+        F.lit("10"),
+        (F.col("user_id") % 4).cast("string"),
+        (F.col("event_id") % 256).cast("string"),
+        F.lit("1"),
+    )
+    ips = ev.select(ip.alias("ip"))
+    return ips.filter(is_subnet_of("10.1.0.0/16", F.col("ip"))).agg(
+        F.count(F.lit(1)).alias("n_in_subnet")
+    )
