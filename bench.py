@@ -83,6 +83,23 @@ def bench_pipeline(spark, n_rows: int) -> dict:
     agg_sec = time.monotonic() - t0
     assert total == n_rows, (total, n_rows)
 
+    # pure-scan throughput (no python): read + reduce the full tokens
+    # column JVM-side — the apples-to-apples number against the
+    # reference's GB/s scan claims (/root/reference/README.md:91-97)
+    from pyspark.sql import functions as F
+
+    t0 = time.monotonic()
+    total_tokens = (
+        spark.read.parquet(path).select(F.sum(F.size("tokens")).alias("s")).collect()[0]["s"]
+    )
+    scan_sec = time.monotonic() - t0
+    logical_bytes = total_tokens * 4
+    disk_bytes = sum(
+        os.path.getsize(os.path.join(path, f))
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    )
+
     out_tmp = os.path.join(BENCH_DATA, "_routed_bench_out")
     shutil.rmtree(out_tmp, ignore_errors=True)
     t0 = time.monotonic()
@@ -96,6 +113,9 @@ def bench_pipeline(spark, n_rows: int) -> dict:
         "pipeline_agg_seq_per_sec": round(n_rows / agg_sec, 1),
         "pipeline_e2e_write_sec": round(write_sec, 3),
         "pipeline_e2e_write_seq_per_sec": round(n_rows / write_sec, 1),
+        "scan_sec": round(scan_sec, 3),
+        "scan_logical_gb_per_sec": round(logical_bytes / scan_sec / 1e9, 3),
+        "scan_disk_gb_per_sec": round(disk_bytes / scan_sec / 1e9, 3),
     }
 
 

@@ -80,3 +80,33 @@ def test_scan_prunes_tokens_when_unused(spark, tokens_path):
     q = df.groupBy("source").agg(F.sum("n_tok").alias("s"))
     cols = scan_read_schema(q)
     assert "tokens" not in cols, cols
+
+
+def test_salted_repartition_spreads_hot_key(spark, tokens_path):
+    """syslog-a holds ~35% of rows; a plain repartition on source puts
+    them all in ONE partition, the salted form spreads them."""
+    from sneller_spark.plans.skew import partition_histogram, repartition_salted
+
+    df = spark.read.parquet(tokens_path)
+    n = df.count()
+
+    plain = df.repartition(16, "source")
+    h_plain = partition_histogram(plain)
+    salted = repartition_salted(df, ["source"], unique_col="doc_id",
+                                buckets=16, num_partitions=16)
+    h_salted = partition_histogram(salted)
+
+    assert max(h_plain) > 0.30 * n          # hot key concentrates
+    assert max(h_salted) < 0.15 * n, h_salted  # salt spreads it
+    assert sum(h_salted) == n               # nothing lost
+
+    # exactness: two-phase agg over the salted frame == direct agg
+    from pyspark.sql import functions as F
+
+    a = (
+        salted.groupBy("source", "_salt").agg(F.sum("n_tok").alias("s"))
+        .groupBy("source").agg(F.sum("s").alias("total"))
+        .orderBy("source").collect()
+    )
+    b = df.groupBy("source").agg(F.sum("n_tok").alias("total")).orderBy("source").collect()
+    assert a == b
