@@ -363,3 +363,96 @@ def ip_subnet_filter(spark, sf_dir):
     return ips.filter(is_subnet_of("10.1.0.0/16", F.col("ip"))).agg(
         F.count(F.lit(1)).alias("n_in_subnet")
     )
+
+
+# =====================================================================
+# third wave: string/date builtin breadth + fused window-over-aggregate
+# =====================================================================
+
+@register(
+    "string_functions_2",
+    """SELECT c_custkey,
+              lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded,
+              reverse(c_mktsegment) AS rseg,
+              regexp_replace(c_name, '\\d', '#', 'g') AS masked,
+              trim(c_mktsegment, 'AY') AS trimmed_set,
+              left(c_name, 4) AS l4, right(c_name, 4) AS r4,
+              repeat('-', 3) AS dashes,
+              position('#' in c_name) AS hash_pos
+       FROM customer""",
+)
+def string_functions_2(spark, sf_dir):
+    """LPAD/REVERSE/regex replace/TRIM-with-charset/LEFT/RIGHT/REPEAT/
+    POSITION (expr/builtin.go:1083-1094 charset trim variants)."""
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("padded"),
+        F.reverse("c_mktsegment").alias("rseg"),
+        F.regexp_replace("c_name", r"\d", "#").alias("masked"),
+        F.expr("trim(BOTH 'AY' FROM c_mktsegment)").alias("trimmed_set"),
+        F.substring("c_name", 1, 4).alias("l4"),
+        F.expr("right(c_name, 4)").alias("r4"),
+        F.repeat(F.lit("-"), 3).alias("dashes"),
+        F.instr("c_name", "#").alias("hash_pos"),
+    )
+
+
+@register(
+    "greatest_least_dates",
+    """SELECT o_orderkey,
+              greatest(o_totalprice, 100000.0) AS hi,
+              least(o_totalprice, 100000.0) AS lo,
+              quarter(o_orderdate) AS q,
+              dayofmonth(o_orderdate) AS dom
+       FROM orders WHERE o_orderkey <= 2000""",
+)
+def greatest_least_dates(spark, sf_dir):
+    """LEAST/GREATEST (expr/builtin.go:1130) + EXTRACT quarter/day."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    return o.select(
+        "o_orderkey",
+        F.greatest(F.col("o_totalprice"), F.lit(100000.0)).alias("hi"),
+        F.least(F.col("o_totalprice"), F.lit(100000.0)).alias("lo"),
+        F.quarter("o_orderdate").alias("q"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+    )
+
+
+@register(
+    "width_bucket_histogram",
+    """SELECT CAST(CASE WHEN o_totalprice < 0 THEN 0
+                        WHEN o_totalprice >= 500000 THEN 11
+                        ELSE FLOOR(o_totalprice / 50000) + 1 END AS BIGINT) AS bucket,
+              COUNT(*) AS n
+       FROM orders GROUP BY 1""",
+)
+def width_bucket_histogram(spark, sf_dir):
+    """WIDTH_BUCKET(x, 0, 500000, 10) (expr/builtin.go:1133) — Spark
+    has it natively; the oracle spells out the same bucketing."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.width_bucket(F.col("o_totalprice"), F.lit(0.0), F.lit(500000.0), F.lit(10))
+        .alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "window_over_aggregate",
+    """SELECT l_returnflag, l_linestatus, sum_qty, rnk FROM (
+         SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty,
+                RANK() OVER (PARTITION BY l_returnflag ORDER BY SUM(l_quantity) DESC) AS rnk
+         FROM lineitem GROUP BY l_returnflag, l_linestatus)""",
+)
+def window_over_aggregate(spark, sf_dir):
+    """Window functions evaluated over hash-aggregate GROUP rows — the
+    only window placement the reference supports
+    (vm/hash_aggregate_window.go:23-154, plan/lower.go:113 splitWindows)."""
+    from pyspark.sql import Window as W2
+
+    li = load(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("sum_qty")
+    )
+    w = W2.partitionBy("l_returnflag").orderBy(F.desc("sum_qty"))
+    return agg.withColumn("rnk", F.rank().over(w))
