@@ -38,7 +38,11 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def wrap(fn):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-            ship_package(spark)  # mapInPandas entries need the pkg on workers
+            ship_package(spark)  # mapInArrow entries need the pkg on workers
+            # timestamp->string results must render in UTC regardless of
+            # the caller's session defaults (oracle timestamps are
+            # UTC-naive)
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
             return fn(spark, sf_dir)
 
         return run

@@ -33,7 +33,9 @@ from sneller_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-BENCH_ROWS = int(os.environ.get("SNELLER_BENCH_ROWS", "1000000"))
+# 500k default keeps a cold driver-run (generation + warmup + suite)
+# under ~3 minutes on this box; the scaling harness overrides to 4M
+BENCH_ROWS = int(os.environ.get("SNELLER_BENCH_ROWS", "500000"))
 BENCH_DATA = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_data")
 
 HEADLINE_QUERIES = [

@@ -87,3 +87,28 @@ def test_manifest_lineage_contents(spark, input_dir, tmp_path):
     assert sum(m.per_partition_rows.values()) == m.rows_routed
     assert m.input_bytes > 0 and m.wall_ms > 0
     assert os.path.exists(os.path.join(out, "_commit.log"))
+
+
+def test_resume_after_partial_uncommitted_write(spark, input_dir, tmp_path):
+    """A job killed MID-unit leaves data files but no manifest; resume
+    must reprocess that unit idempotently (overwrite, no double
+    count)."""
+    import os
+
+    out = str(tmp_path / "partial")
+    run_pipeline(spark, input_dir, out, max_units=1)
+
+    # simulate a crash mid-way through unit-00001: partial garbage
+    # parquet directory exists, manifest does NOT
+    unit_dir = os.path.join(out, "routed", "unit=unit-00001", "sink_id=sink-0")
+    os.makedirs(unit_dir, exist_ok=True)
+    pdf = generate_chunk(0, 10)
+    pdf.to_parquet(os.path.join(unit_dir, "part-garbage.parquet"), index=False)
+    assert not LineageLog(out).is_committed("unit-00001")
+
+    stats = run_pipeline(spark, input_dir, out)  # resume
+    assert stats["units"] == FILES and stats["rows_in"] == N
+
+    got = _norm(read_aggregates(spark, out).toPandas())
+    _, exp = run_oracle(generate_chunk(0, N))
+    pd.testing.assert_frame_equal(got, _norm(exp))
