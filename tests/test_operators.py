@@ -135,3 +135,35 @@ def test_text_analysis(spark, docs_df):
     import hashlib
 
     assert fp.loc[0, "fingerprint"] == hashlib.md5(DOCS[0][1].encode()).hexdigest()
+
+
+def test_ivf_topk_contains_query_and_ranks(spark):
+    rng = np.random.Generator(np.random.PCG64(13))
+    vecs = rng.standard_normal((400, 16)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)], ["vec_id", "embedding"]
+    )
+    from sneller_spark.operators.similarity import ivf_topk, train_ivf_centroids
+
+    cents = train_ivf_centroids(df, k=6, sample_rows=400)
+    got = ivf_topk(df, vecs[7].tolist(), cents, k=5, n_probe=2).toPandas()
+    assert got.iloc[0]["vec_id"] == 7  # own bucket always probed first
+    assert list(got["cos_sim"]) == sorted(got["cos_sim"], reverse=True)
+    # determinism across partitionings
+    got2 = ivf_topk(df.repartition(9), vecs[7].tolist(), cents, k=5, n_probe=2).toPandas()
+    assert list(got["vec_id"]) == list(got2["vec_id"])
+
+
+def test_approx_aggregates_accuracy(spark, sf_dir):
+    """Approx sketches must land near exact values (the reference's
+    HLL/t-digest accuracy posture, vm/aggcountdistinct.go,
+    vm/aggtdigest.go)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    row = li.agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx"),
+        F.count_distinct("l_orderkey").alias("exact"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50_approx"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("p50_exact"),
+    ).first()
+    assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.05
+    assert abs(row["p50_approx"] - row["p50_exact"]) / row["p50_exact"] < 0.02
