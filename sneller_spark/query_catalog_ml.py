@@ -323,3 +323,21 @@ def ann_cosine_topk_ivf(spark, sf_dir):
     e = load(spark, sf_dir, "embeddings")
     centroids = train_ivf_centroids(e, k=8)
     return ivf_topk(e, _query_vec(spark, sf_dir), centroids, k=10, n_probe=4)
+
+
+@register("tokens_unnest_histogram", None)  # generated input: rows-only
+def tokens_unnest_histogram(spark, sf_dir):
+    """Unnest/explode of token arrays (SURVEY.md M7): explode the
+    tokens column of a generated slice and histogram the motif range —
+    the token-level analog of FROM t, t.tokens AS tok
+    (/root/reference/vm/unnest.go:27-70)."""
+    from .datagen import generate_tokens_df
+    from .vocab import MOTIF_BASE
+
+    df = generate_tokens_df(spark, 5_000, partitions=8)
+    tok = df.select(F.explode("tokens").alias("tok"))
+    return (
+        tok.filter(F.col("tok") >= MOTIF_BASE)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
