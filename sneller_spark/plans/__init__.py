@@ -1,5 +1,6 @@
 from .introspect import (
     assert_broadcast_join,
+    assert_no_exchange,
     assert_no_python_in_plan,
     assert_pushed_filters,
     assert_single_arrow_eval,
@@ -17,5 +18,6 @@ __all__ = [
     "assert_broadcast_join",
     "assert_single_arrow_eval",
     "assert_single_python_boundary",
+    "assert_no_exchange",
     "assert_no_python_in_plan",
 ]

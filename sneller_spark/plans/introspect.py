@@ -73,6 +73,15 @@ def assert_single_python_boundary(df: DataFrame) -> None:
     assert n == 1, f"expected exactly 1 python boundary, found {n}:\n{text[:2000]}"
 
 
+def assert_no_exchange(df: DataFrame) -> None:
+    """No shuffle anywhere in the plan — the proof that bucketed /
+    pre-partitioned layouts actually co-locate the work."""
+    text = explain_str(df)
+    assert "Exchange" not in text.replace("BroadcastExchange", ""), (
+        f"unexpected shuffle Exchange in plan:\n{text[:2000]}"
+    )
+
+
 def assert_no_python_in_plan(df: DataFrame) -> None:
     text = explain_str(df)
     for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas", "PythonMapInArrow"):

@@ -1,3 +1,4 @@
+from .bucketing import bucketed_join, write_bucketed
 from .readers import (
     append_tables,
     dummy_output,
@@ -8,6 +9,8 @@ from .readers import (
 )
 
 __all__ = [
+    "write_bucketed",
+    "bucketed_join",
     "read_table",
     "table_glob",
     "append_tables",

@@ -1,0 +1,43 @@
+"""Bucketed tables — co-located joins and aggregations without a
+shuffle.
+
+At 100 TB the dominant cost of a repeated big-big join is re-shuffling
+both sides on every query.  Writing both tables bucketed on the join
+key (`bucketBy`) fixes the partitioning ON DISK: Spark's scan reports
+the bucket spec, Catalyst sees both sides hash-distributed identically,
+and the join plans with NO Exchange on either side.  This is the Spark
+analog of the reference pre-partitioning tables by synthetic partition
+fields (/root/reference/db/def.go:31-118) so queries prune and join
+within partitions.
+
+Bucketed writes go through the session catalog (saveAsTable — bucket
+metadata lives in the metastore, a plain parquet path cannot carry it).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 16,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist as a bucketed (optionally sorted) catalog table."""
+    w = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)
+
+
+def bucketed_join(
+    spark: SparkSession, left_table: str, right_table: str, on: list[str], how: str = "inner"
+) -> DataFrame:
+    """Join two same-bucketed tables; with matching bucket specs the
+    physical plan contains no Exchange (verify with
+    plans.assert_no_shuffle_join)."""
+    return spark.table(left_table).join(spark.table(right_table), on=on, how=how)

@@ -68,3 +68,33 @@ def test_write_sink_falls_back_to_parquet(spark, tmp_path):
     assert fmt == "parquet"  # no Iceberg jar in this sandbox
     back = spark.read.parquet(str(tmp_path / "out"))
     assert back.count() == 2 and set(back.columns) == {"id", "part"}
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Two tables bucketed on the join key must join with zero
+    Exchange in the plan — the co-location contract that matters at
+    100 TB (bucketing == reference's pre-partitioned tables,
+    /root/reference/db/def.go:31-118)."""
+    from pyspark.sql import functions as F
+
+    from sneller_spark.plans import assert_no_exchange
+    from sneller_spark.sources.bucketing import bucketed_join, write_bucketed
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force non-broadcast
+    try:
+        facts = spark.range(0, 10_000).select(
+            F.col("id").alias("k"), (F.col("id") % 97).alias("v")
+        )
+        dims = spark.range(0, 10_000, 7).select(
+            F.col("id").alias("k"), (F.col("id") % 13).alias("d")
+        )
+        write_bucketed(facts, "b_facts", ["k"], n_buckets=8, sort_cols=["k"])
+        write_bucketed(dims, "b_dims", ["k"], n_buckets=8, sort_cols=["k"])
+
+        joined = bucketed_join(spark, "b_facts", "b_dims", on=["k"])
+        assert_no_exchange(joined)
+        assert joined.count() == dims.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS b_facts")
+        spark.sql("DROP TABLE IF EXISTS b_dims")
