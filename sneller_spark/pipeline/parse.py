@@ -259,3 +259,125 @@ def parse_batch(pdf: pd.DataFrame, keep_text: bool = False) -> pd.DataFrame:
     for name, arr2 in fields.items():
         out[name] = pd.array(arr2, dtype=pd.ArrowDtype(arr2.type))
     return out
+
+
+# ---------------------------------------------------------------------
+# dictionary-accelerated kernel: pattern bank evaluated on the vocab
+# ---------------------------------------------------------------------
+#
+# Every pattern in the bank matches entirely inside one token (none of
+# the regexes can cross a ' ' join boundary), so "first regex match in
+# the decoded text" is equivalent to "value of the earliest token whose
+# *vocab word* matches".  That turns the streaming work into a pure
+# integer gather: the regex bank runs ONCE over the 32k-word vocabulary
+# (the dictionary), producing per-field value tables; per batch we only
+# look up token ids.  This is dictionary-encoded predicate pushdown —
+# the same trick parquet readers use on dictionary pages, and the
+# moral twin of zion's evaluate-on-the-compressed-form design
+# (/root/reference/ion/zion/doc.go:15-29).  The regex kernel above
+# remains the semantic source of truth; equality is enforced in tests.
+
+_dict_tables: dict[str, tuple[np.ndarray, np.ndarray]] | None = None
+
+
+def _token_boundary_safe(pattern: str) -> bool:
+    """The equivalence only holds if the pattern cannot match a string
+    containing the join separator (space)."""
+    import re as _re
+
+    probes = ["a b", "1 2", "LEVEL= INFO", "code =404", "10.0 .0.1", "lat_ms =5"]
+    return not any(" " in m.group(0) for p in probes for m in _re.finditer(pattern, p))
+
+
+def _build_dict_tables() -> dict[str, tuple[np.ndarray, np.ndarray]]:
+    """field -> (matched_mask[VOCAB_SIZE], value[VOCAB_SIZE]) computed
+    by running the SAME arrow regex bank over the vocabulary."""
+    global _dict_tables
+    if _dict_tables is not None:
+        return _dict_tables
+    vocab_arr = _vocab_arrow()
+    tables: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+    for name, (pattern, dtype) in _ARROW_PATTERNS.items():
+        assert _token_boundary_safe(PATTERN_BANK[name][0]), name
+        struct = pc.extract_regex(vocab_arr, pattern)
+        col = pc.struct_field(struct, name)
+        mask = pc.is_valid(col).to_numpy(zero_copy_only=False)
+        if dtype == "int":
+            vals = pc.cast(col, pa.int32()).to_numpy(zero_copy_only=False)
+            vals = np.where(mask, vals, 0).astype(np.int32)
+        else:
+            vals = np.asarray(col.to_pylist(), dtype=object)
+        tables[name] = (mask, vals)
+    _dict_tables = tables
+    return tables
+
+
+def extract_fields_dict(tokens: pa.ListArray) -> dict[str, pa.Array]:
+    """Gather-based extraction: identical results to
+    extract_fields_arrow(decode_tokens_arrow(tokens)) for the built-in
+    pattern bank (tested), ~no string materialization at all."""
+    tables = _build_dict_tables()
+    ids = tokens.values.to_numpy(zero_copy_only=False)
+    offsets = tokens.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    starts, total = offsets[:-1], int(offsets[-1])
+    n = len(starts)
+    pos = np.arange(total, dtype=np.int64)
+
+    out: dict[str, pa.Array] = {}
+    for name, (mask_tab, val_tab) in tables.items():
+        mask = mask_tab[ids]
+        # first matching token per row: min position among matches
+        sentinel = total
+        masked_pos = np.where(mask, pos, sentinel)
+        first = (
+            np.minimum.reduceat(masked_pos, starts)
+            if total
+            else np.full(n, sentinel, dtype=np.int64)
+        )
+        # zero-length segments can't occur (MIN_LEN>=16), but rows whose
+        # segment has no match yield the sentinel
+        valid = first < np.append(offsets[1:], sentinel)[: n]
+        valid &= first < sentinel
+        dtype = _ARROW_PATTERNS[name][1]
+        if dtype == "int":
+            vals = np.where(valid, val_tab[ids[np.clip(first, 0, total - 1)]], 0)
+            out[name] = pa.array(vals.astype(np.int32), mask=~valid, type=pa.int32())
+        else:
+            gathered = val_tab[ids[np.clip(first, 0, total - 1)]]
+            py = [gathered[i] if valid[i] else None for i in range(n)]
+            out[name] = pa.array(py, type=pa.string())
+    return out
+
+
+def parse_stage_dict(
+    df: DataFrame, passthrough: list[str] | None = None
+) -> DataFrame:
+    """mapInArrow parse using the dictionary-accelerated kernel."""
+    from pyspark.sql import types as T
+
+    in_cols = list(df.columns) if passthrough is None else list(passthrough)
+    needed = list(dict.fromkeys(in_cols + ["tokens"]))
+    projected = df.select(*needed)
+    in_schema = {f.name: f for f in projected.schema.fields}
+    fields = [in_schema[c] for c in in_cols] + [
+        T.StructField("level", T.StringType()),
+        T.StructField("code", T.IntegerType()),
+        T.StructField("ip", T.StringType()),
+        T.StructField("lat_ms", T.IntegerType()),
+    ]
+    out_schema = T.StructType(fields)
+    out_names = [f.name for f in fields]
+
+    def run(batches):
+        pa.set_cpu_count(1)
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            tokens = b.column("tokens")
+            if isinstance(tokens, pa.ChunkedArray):
+                tokens = tokens.combine_chunks()
+            extracted = extract_fields_dict(tokens)
+            cols = [b.column(c) for c in in_cols] + [extracted[n] for n in PARSED_FIELDS]
+            yield pa.RecordBatch.from_arrays(cols, names=out_names)
+
+    return projected.mapInArrow(run, schema=out_schema)

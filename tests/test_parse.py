@@ -80,3 +80,42 @@ def test_jvm_parse_equals_arrow_parse(spark):
         ga = [None if pd.isna(v) else v for v in a[c]]
         gb = [None if pd.isna(v) else v for v in b[c]]
         assert ga == gb, c
+
+
+def test_dict_kernel_equals_regex_kernel():
+    """Dictionary-accelerated extraction must be bit-identical to the
+    regex-over-decoded-text kernel on a large generated batch."""
+    from sneller_spark.pipeline.parse import (
+        decode_tokens_arrow,
+        extract_fields_arrow,
+        extract_fields_dict,
+        tokens_series_to_arrow,
+    )
+
+    pdf = generate_chunk(50_000, 80_000)
+    arr = tokens_series_to_arrow(pdf["tokens"])
+    a = extract_fields_arrow(decode_tokens_arrow(arr))
+    b = extract_fields_dict(arr)
+    for k in a:
+        assert a[k].to_pylist() == b[k].to_pylist(), k
+
+
+def test_dict_kernel_stage_matches_oracle(spark):
+    from sneller_spark.datagen import TOKENS_SCHEMA
+    from sneller_spark.oracle import parse_pdf
+    from sneller_spark.pipeline.parse import parse_stage_dict
+
+    pdf = generate_chunk(0, 3000)
+    df = spark.createDataFrame(pdf, schema=TOKENS_SCHEMA).repartition(8)
+    got = (
+        parse_stage_dict(df)
+        .select("doc_id", "level", "code", "ip", "lat_ms")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    exp = parse_pdf(pdf)
+    for c in ("level", "code", "ip", "lat_ms"):
+        g = [None if pd.isna(v) else v for v in got[c]]
+        e = [None if pd.isna(v) else v for v in exp[c]]
+        assert g == e, c
