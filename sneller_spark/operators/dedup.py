@@ -84,11 +84,25 @@ def minhash_signatures(
 
 
 def minhash_candidate_pairs(
-    sigs: DataFrame, n_hashes: int = 32, bands: int = 8
+    sigs: DataFrame,
+    n_hashes: int = 32,
+    bands: int = 8,
+    max_bucket_size: int = 64,
+    persist: bool = True,
 ) -> DataFrame:
     """LSH banding: split the signature into `bands` bands of
     n_hashes/bands rows, hash each band, self-join on (band, hash).
-    Returns candidate (id_a, id_b, n_bands_matched) with id_a < id_b."""
+    Returns candidate (id_a, id_b, n_bands_matched) with id_a < id_b.
+
+    Degenerate-bucket guard (the 100 TB case): real corpora carry
+    thousands of identical boilerplate docs; one hot (band, hash)
+    bucket makes the self-join quadratic in that bucket's size.
+    Buckets larger than ``max_bucket_size`` are near-certain duplicate
+    cliques, so instead of all O(n²) pairs they emit O(n) star pairs
+    to the bucket's representative (min id) — connectivity for
+    downstream union-find is preserved, the join never goes quadratic.
+    ``persist`` caches the banded rows because they feed three plans
+    (bucket stats + both join sides)."""
     rows_per_band = n_hashes // bands
     band_cols = []
     for bi in range(bands):
@@ -104,20 +118,36 @@ def minhash_candidate_pairs(
             ])
         ).alias("b"),
     ).select("id", "b.band_idx", "b.band_hash")
-    left = stacked.alias("l")
-    right = stacked.alias("r")
-    pairs = (
-        left.join(
-            right,
-            (F.col("l.band_idx") == F.col("r.band_idx"))
-            & (F.col("l.band_hash") == F.col("r.band_hash"))
-            & (F.col("l.id") < F.col("r.id")),
-        )
-        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+    if persist:
+        from pyspark import StorageLevel
+
+        stacked = stacked.persist(StorageLevel.MEMORY_AND_DISK)
+
+    stats = stacked.groupBy("band_idx", "band_hash").agg(
+        F.count(F.lit(1)).alias("_bsize"), F.min("id").alias("_rep")
+    )
+    tagged = stacked.join(stats, ["band_idx", "band_hash"])
+
+    small = tagged.filter(F.col("_bsize") <= max_bucket_size).select(
+        "id", "band_idx", "band_hash"
+    )
+    left, right = small.alias("l"), small.alias("r")
+    small_pairs = left.join(
+        right,
+        (F.col("l.band_idx") == F.col("r.band_idx"))
+        & (F.col("l.band_hash") == F.col("r.band_hash"))
+        & (F.col("l.id") < F.col("r.id")),
+    ).select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+
+    big_pairs = tagged.filter(
+        (F.col("_bsize") > max_bucket_size) & (F.col("id") != F.col("_rep"))
+    ).select(F.col("_rep").alias("id_a"), F.col("id").alias("id_b"))
+
+    return (
+        small_pairs.unionByName(big_pairs)
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_bands_matched"))
     )
-    return pairs
 
 
 def simhash_fingerprint(

@@ -174,6 +174,13 @@ def train_ivf_centroids(
     return cent
 
 
+def _rank_probes(query: list[float], centroids: np.ndarray, n_probe: int) -> list[int]:
+    qv = np.asarray(query, dtype=np.float64)
+    norms = np.linalg.norm(centroids, axis=1)
+    scores = (centroids @ qv) / np.where(norms == 0, 1, norms)
+    return [int(i) for i in np.argsort(-scores)[:n_probe]]
+
+
 def ivf_topk(
     df: DataFrame,
     query: list[float],
@@ -184,15 +191,112 @@ def ivf_topk(
     vec_col: str = "embedding",
     round_digits: int | None = 4,
 ) -> DataFrame:
-    """IVF search: rank centroids against the query on the driver,
-    scan only the n_probe nearest buckets, exact cosine re-rank."""
-    qv = np.asarray(query, dtype=np.float64)
-    norms = np.linalg.norm(centroids, axis=1)
-    scores = (centroids @ qv) / np.where(norms == 0, 1, norms)
-    probes = [int(i) for i in np.argsort(-scores)[:n_probe]]
-
+    """IVF search over an UN-indexed table: assigns buckets at query
+    time, so it still scans every row (candidate filter only saves the
+    re-rank).  Use write_ivf_index + ivf_topk_pruned for the scale
+    path, where the probe is a partition-pruned scan."""
+    probes = _rank_probes(query, centroids, n_probe)
     bucketed = ivf_assign_buckets(df, centroids, vec_col)
     candidates = bucketed.filter(F.col("_ivf_bucket").isin(probes))
+    sim = cosine_similarity_col(F.col(vec_col), query)
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    return (
+        candidates.select(F.col(id_col), sim.alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------
+# persisted, partition-pruned indexes — the demonstrated 100 TB flow:
+# write once partitioned by bucket; every query scans ONLY the probed
+# partition directories (IVF inverted lists == hive partition pruning)
+# ---------------------------------------------------------------------
+
+def write_ivf_index(
+    df: DataFrame,
+    centroids: np.ndarray,
+    path: str,
+    vec_col: str = "embedding",
+) -> None:
+    """One-time index build: assign buckets (JVM expressions only) and
+    write the table PARTITIONED BY the bucket.  At 100 TB this is one
+    full pass; every subsequent query reads n_probe directories."""
+    bucketed = ivf_assign_buckets(df, centroids, vec_col, bucket_col="ivf_bucket")
+    bucketed.write.mode("overwrite").partitionBy("ivf_bucket").parquet(path)
+
+
+def ivf_topk_pruned(
+    spark,
+    index_path: str,
+    query: list[float],
+    centroids: np.ndarray,
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int | None = 4,
+) -> DataFrame:
+    """IVF probe against a persisted index: the isin() filter on the
+    partition column becomes a PartitionFilter in the scan (asserted in
+    tests/test_plan_shape.py), so only n_probe bucket directories are
+    read."""
+    probes = _rank_probes(query, centroids, n_probe)
+    candidates = spark.read.parquet(index_path).filter(
+        F.col("ivf_bucket").isin(probes)
+    )
+    sim = cosine_similarity_col(F.col(vec_col), query)
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    return (
+        candidates.select(F.col(id_col), sim.alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def write_srp_index(
+    df: DataFrame,
+    dim: int,
+    path: str,
+    n_planes: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> None:
+    """SRP-LSH analog of write_ivf_index: persist partitioned by the
+    sign-random-projection bucket (deterministic hyperplanes)."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    df.withColumn("srp_bucket", srp_bucket_col(F.col(vec_col), planes)).write.mode(
+        "overwrite"
+    ).partitionBy("srp_bucket").parquet(path)
+
+
+def srp_topk_pruned(
+    spark,
+    index_path: str,
+    query: list[float],
+    k: int = 10,
+    n_planes: int = 8,
+    probe_hamming: int = 1,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int | None = 4,
+) -> DataFrame:
+    """Multi-probe SRP query against a persisted index: partition-
+    pruned scan of the query bucket plus all buckets within
+    `probe_hamming` bits."""
+    planes = _hyperplanes(len(query), n_planes, seed)
+    qv = np.asarray(query, dtype=np.float64)
+    qbucket = int(sum((1 << i) for i, p in enumerate(planes) if float(p @ qv) >= 0.0))
+    probes = [qbucket]
+    if probe_hamming >= 1:
+        probes += [qbucket ^ (1 << i) for i in range(n_planes)]
+
+    candidates = spark.read.parquet(index_path).filter(
+        F.col("srp_bucket").isin(probes)
+    )
     sim = cosine_similarity_col(F.col(vec_col), query)
     if round_digits is not None:
         sim = F.round(sim, round_digits)

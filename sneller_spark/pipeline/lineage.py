@@ -61,8 +61,24 @@ class LineageLog:
             if f.endswith(".json")
         }
 
-    def is_committed(self, unit_id: str) -> bool:
-        return os.path.exists(os.path.join(self.manifest_dir, f"{unit_id}.json"))
+    def is_committed(self, unit_id: str, inputs: list[str] | None = None) -> bool:
+        """A unit only counts as committed if its manifest exists AND
+        (when `inputs` is given) the manifest's recorded input files
+        match the unit's current file list by basename — a manifest for
+        the same id over different inputs must be reprocessed (the
+        FileTree-identity check, /root/reference/db/sync.go:366-430)."""
+        path = os.path.join(self.manifest_dir, f"{unit_id}.json")
+        if not os.path.exists(path):
+            return False
+        if inputs is None:
+            return True
+        try:
+            recorded = self.read_manifest(unit_id).inputs
+        except (OSError, ValueError, TypeError):
+            return False
+        return sorted(os.path.basename(f) for f in recorded) == sorted(
+            os.path.basename(f) for f in inputs
+        )
 
     def commit(self, manifest: UnitManifest) -> None:
         """Atomically publish the manifest, then append the commit log."""

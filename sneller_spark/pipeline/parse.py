@@ -280,13 +280,71 @@ def parse_batch(pdf: pd.DataFrame, keep_text: bool = False) -> pd.DataFrame:
 _dict_tables: dict[str, tuple[np.ndarray, np.ndarray]] | None = None
 
 
+def _pattern_can_match_space(pattern: str) -> bool:
+    """Statically decide whether a regex match (group 0) could ever
+    consume the join separator ' ', by walking the sre parse tree.
+    Sound for the constructs it knows; anything unknown (backrefs,
+    future opcodes) conservatively counts as "can match", which makes
+    the dict kernel refuse rather than silently diverge."""
+    from re import _parser as sre
+
+    SPACE = ord(" ")
+
+    def atom(op, av) -> bool:
+        if op is sre.LITERAL:
+            return av == SPACE
+        if op is sre.NOT_LITERAL:
+            return av != SPACE
+        if op is sre.RANGE:
+            return av[0] <= SPACE <= av[1]
+        if op is sre.CATEGORY:
+            # space is: whitespace, a non-word char, a non-digit char
+            return av in (
+                sre.CATEGORY_SPACE,
+                sre.CATEGORY_NOT_WORD,
+                sre.CATEGORY_NOT_DIGIT,
+            )
+        if op is sre.ANY:
+            return True  # '.' matches ' '
+        return True  # unknown atom: conservative
+
+    def walk(items) -> bool:
+        for op, av in items:
+            if op in (sre.LITERAL, sre.NOT_LITERAL, sre.RANGE, sre.CATEGORY, sre.ANY):
+                if atom(op, av):
+                    return True
+            elif op is sre.IN:
+                members = av
+                if members and members[0][0] is sre.NEGATE:
+                    if not any(atom(o, a) for o, a in members[1:]):
+                        return True
+                elif any(atom(o, a) for o, a in members):
+                    return True
+            elif op in (sre.MAX_REPEAT, sre.MIN_REPEAT):
+                if walk(av[2]):
+                    return True
+            elif op is sre.SUBPATTERN:
+                if walk(av[3]):
+                    return True
+            elif op is sre.BRANCH:
+                if any(walk(b) for b in av[1]):
+                    return True
+            elif op is sre.AT:
+                pass  # anchors (\b, ^, $) consume nothing
+            elif op in (sre.ASSERT, sre.ASSERT_NOT):
+                pass  # lookaround content is not part of group 0
+            else:
+                return True  # GROUPREF / unknown: conservative
+        return False
+
+    return walk(sre.parse(pattern))
+
+
 def _token_boundary_safe(pattern: str) -> bool:
     """The equivalence only holds if the pattern cannot match a string
-    containing the join separator (space)."""
-    import re as _re
-
-    probes = ["a b", "1 2", "LEVEL= INFO", "code =404", "10.0 .0.1", "lat_ms =5"]
-    return not any(" " in m.group(0) for p in probes for m in _re.finditer(pattern, p))
+    containing the join separator (space) — proven statically, not by
+    probing."""
+    return not _pattern_can_match_space(pattern)
 
 
 def _build_dict_tables() -> dict[str, tuple[np.ndarray, np.ndarray]]:
@@ -315,35 +373,59 @@ def _build_dict_tables() -> dict[str, tuple[np.ndarray, np.ndarray]]:
 def extract_fields_dict(tokens: pa.ListArray) -> dict[str, pa.Array]:
     """Gather-based extraction: identical results to
     extract_fields_arrow(decode_tokens_arrow(tokens)) for the built-in
-    pattern bank (tested), ~no string materialization at all."""
+    pattern bank (tested), ~no string materialization at all.
+
+    Empty and null token rows yield null fields (same as the regex
+    kernel).  reduceat cannot take a start index == len(values), so
+    the per-row min runs only over non-empty, non-null segments and the
+    results are scattered back; ids are clipped defensively because the
+    Arrow spec allows null slots to carry arbitrary offset ranges."""
+    if isinstance(tokens, pa.ChunkedArray):
+        tokens = tokens.combine_chunks()
     tables = _build_dict_tables()
-    ids = tokens.values.to_numpy(zero_copy_only=False)
     offsets = tokens.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-    starts, total = offsets[:-1], int(offsets[-1])
+    starts, ends = offsets[:-1], offsets[1:]
+    total = int(offsets[-1]) if len(offsets) else 0
     n = len(starts)
+    sentinel = total
+
+    row_ok = ends > starts
+    if tokens.null_count:
+        row_ok &= ~tokens.is_null().to_numpy(zero_copy_only=False)
+
+    def _all_null(dtype: str) -> pa.Array:
+        t = pa.int32() if dtype == "int" else pa.string()
+        return pa.nulls(n, type=t)
+
+    if total == 0 or not row_ok.any():
+        return {name: _all_null(dt) for name, (_, dt) in _ARROW_PATTERNS.items()}
+
+    vocab_size = len(_vocab_arrow())
+    ids = np.clip(
+        tokens.values.to_numpy(zero_copy_only=False), 0, vocab_size - 1
+    )
+    ne_starts = starts[row_ok]
     pos = np.arange(total, dtype=np.int64)
 
     out: dict[str, pa.Array] = {}
     for name, (mask_tab, val_tab) in tables.items():
         mask = mask_tab[ids]
         # first matching token per row: min position among matches
-        sentinel = total
         masked_pos = np.where(mask, pos, sentinel)
-        first = (
-            np.minimum.reduceat(masked_pos, starts)
-            if total
-            else np.full(n, sentinel, dtype=np.int64)
-        )
-        # zero-length segments can't occur (MIN_LEN>=16), but rows whose
-        # segment has no match yield the sentinel
-        valid = first < np.append(offsets[1:], sentinel)[: n]
-        valid &= first < sentinel
+        first = np.full(n, sentinel, dtype=np.int64)
+        # reduceat group j spans exactly the j-th non-empty segment:
+        # offsets are contiguous and empty segments contribute nothing
+        first[row_ok] = np.minimum.reduceat(masked_pos, ne_starts)
+        # a match is only real if it falls inside the row's own segment
+        # (garbage positions from null-slot ranges land beyond `ends`)
+        valid = (first < ends) & row_ok
         dtype = _ARROW_PATTERNS[name][1]
+        gather_idx = ids[np.clip(first, 0, total - 1)]
         if dtype == "int":
-            vals = np.where(valid, val_tab[ids[np.clip(first, 0, total - 1)]], 0)
+            vals = np.where(valid, val_tab[gather_idx], 0)
             out[name] = pa.array(vals.astype(np.int32), mask=~valid, type=pa.int32())
         else:
-            gathered = val_tab[ids[np.clip(first, 0, total - 1)]]
+            gathered = val_tab[gather_idx]
             py = [gathered[i] if valid[i] else None for i in range(n)]
             out[name] = pa.array(py, type=pa.string())
     return out

@@ -13,10 +13,11 @@ a single uninterrupted run.
 
 from __future__ import annotations
 
+import hashlib
 import os
 import time
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from ..lookups import lookup_source_df, route_rules_df
@@ -61,14 +62,50 @@ def transform(
     return route_stage(enrich_stage(parsed, lookup), rules)
 
 
+def unit_id_for(path: str) -> str:
+    """Unit id derived from the input file IDENTITY, not its position
+    in the listing: a new file that sorts before existing ones must not
+    shift committed ids (the reference keys ingest dedup on the input
+    object, db/sync.go:366-430).  basename keeps ids human-readable;
+    the path hash disambiguates same-named files from different dirs."""
+    base = os.path.basename(path)
+    if base.endswith(".parquet"):
+        base = base[: -len(".parquet")]
+    safe = "".join(c if (c.isalnum() or c in "-_.") else "_" for c in base)
+    digest = hashlib.sha256(os.path.basename(path).encode()).hexdigest()[:8]
+    return f"unit-{safe}-{digest}"
+
+
 def list_units(input_path: str) -> list[tuple[str, list[str]]]:
-    """One unit per input parquet file, deterministic order."""
+    """One unit per input parquet file, deterministic order, ids keyed
+    on file identity (stable under later additions to the directory)."""
     files = sorted(
         os.path.join(input_path, f)
         for f in os.listdir(input_path)
         if f.endswith(".parquet")
     )
-    return [(f"unit-{i:05d}", [f]) for i, f in enumerate(files)]
+    return [(unit_id_for(f), [f]) for f in files]
+
+
+def _written_file_rows(unit_dir: str) -> tuple[dict[str, int], dict[str, int]]:
+    """Per-sink and per-file row counts of a just-written unit, read
+    from parquet FOOTERS only (no data scan, no Spark job)."""
+    import pyarrow.parquet as pq
+
+    per_sink: dict[str, int] = {}
+    per_file: dict[str, int] = {}
+    for root, _dirs, fnames in os.walk(unit_dir):
+        part = os.path.basename(root)
+        if not part.startswith("sink_id="):
+            continue
+        sink = part[len("sink_id="):]
+        for fn in fnames:
+            if not fn.endswith(".parquet"):
+                continue
+            n = pq.ParquetFile(os.path.join(root, fn)).metadata.num_rows
+            per_sink[sink] = per_sink.get(sink, 0) + n
+            per_file[f"{sink}/{fn}"] = n
+    return per_sink, per_file
 
 
 def run_pipeline(
@@ -88,41 +125,40 @@ def run_pipeline(
     log = LineageLog(out_dir)
     routed_dir = os.path.join(out_dir, ROUTED_SUBDIR)
     units = list_units(input_path)
-    todo = [(uid, files) for uid, files in units if not (resume and log.is_committed(uid))]
+    todo = [
+        (uid, files)
+        for uid, files in units
+        if not (resume and log.is_committed(uid, inputs=files))
+    ]
     if max_units is not None:
         todo = todo[:max_units]
 
     for unit_id, files in todo:
         t0 = time.monotonic()
-        df = spark.read.parquet(*files)
+        # rows_in via observe(): collected during the write pass below,
+        # so the unit is read exactly ONCE (round-1 version re-scanned
+        # the input for .count() and the output for per-sink counts)
+        obs = Observation(f"in-{unit_id}")
+        df = spark.read.parquet(*files).observe(obs, F.count(F.lit(1)).alias("rows_in"))
         routed = transform(spark, df)
 
         unit_dir = os.path.join(routed_dir, f"unit={unit_id}")
         # idempotent overwrite of THIS unit's directory only
         routed.write.mode("overwrite").partitionBy("sink_id").parquet(unit_dir)
 
-        # lineage + metrics off the written data (counts what was committed)
-        written = spark.read.parquet(unit_dir)
-        per_sink = {
-            r["sink_id"]: r["n"]
-            for r in written.groupBy("sink_id").agg(F.count("*").alias("n")).collect()
-        }
-        per_part = {
-            str(r["_pid"]): r["n"]
-            for r in written.groupBy(F.spark_partition_id().alias("_pid"))
-            .agg(F.count("*").alias("n"))
-            .collect()
-        }
+        # lineage + metrics from parquet footers of the files just
+        # written (counts exactly what was committed, zero extra scans)
+        per_sink, per_file = _written_file_rows(unit_dir)
         rows_routed = sum(per_sink.values())
         log.commit(
             UnitManifest(
                 unit_id=unit_id,
                 inputs=files,
                 input_bytes=sum(os.path.getsize(f) for f in files),
-                rows_in=df.count(),
+                rows_in=int(obs.get["rows_in"]),
                 rows_routed=rows_routed,
                 per_sink_rows=per_sink,
-                per_partition_rows=per_part,
+                per_partition_rows=per_file,
                 wall_ms=(time.monotonic() - t0) * 1000.0,
             )
         )

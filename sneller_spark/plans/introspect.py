@@ -82,6 +82,29 @@ def assert_no_exchange(df: DataFrame) -> None:
     )
 
 
+def partition_filters(df: DataFrame) -> list[str]:
+    """PartitionFilters that reached the scan's file index — the proof
+    that a filter on a partition column prunes DIRECTORIES (reads only
+    matching partitions), not rows.  The analog of the reference's
+    expectBytes pruning checks (/root/reference/plan/exec_test.go:287)."""
+    text = explain_str(df)
+    return [m.group(1) for m in re.finditer(r"PartitionFilters: \[([^\]]*)\]", text)]
+
+
+def assert_partition_pruned(df: DataFrame, col: str, n_values: int | None = None) -> None:
+    """Assert the scan carries a partition filter on `col`; with
+    n_values, assert it is an IN-list of exactly that many values (the
+    n_probe buckets)."""
+    filters = partition_filters(df)
+    hits = [f for f in filters if col in f and ("IN" in f or "=" in f)]
+    assert hits, f"no partition filter on {col}; got {filters}"
+    if n_values is not None:
+        in_lists = re.findall(rf"{col}\S* IN \(([^)]*)\)", " ; ".join(hits))
+        assert in_lists, f"no IN-list partition filter on {col}; got {hits}"
+        n = len([v for v in in_lists[0].split(",") if v.strip()])
+        assert n == n_values, f"expected {n_values} probed partitions, got {n}: {hits}"
+
+
 def assert_no_python_in_plan(df: DataFrame) -> None:
     text = explain_str(df)
     for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas", "PythonMapInArrow"):

@@ -288,11 +288,18 @@ def percentile_exact(spark, sf_dir):
 
 @register("approx_percentile_tdigest", None)  # approx: rows-only check
 def approx_percentile_tdigest(spark, sf_dir):
-    """APPROX_PERCENTILE/APPROX_MEDIAN (vm/aggtdigest.go:26-50)."""
+    """APPROX_PERCENTILE/APPROX_MEDIAN (vm/aggtdigest.go:26-50).
+
+    Result columns are scalars only: the driver's canonicalizer sorts
+    result values through pandas factorize, which cannot hash an
+    array-typed cell — so the quartile pair is unpacked via element_at
+    instead of returned as array<double> (the round-1 crash)."""
     li = load(spark, sf_dir, "lineitem")
+    iqr = F.percentile_approx("l_extendedprice", F.array(F.lit(0.25), F.lit(0.75)), 10000)
     return li.groupBy("l_returnflag").agg(
         F.percentile_approx("l_extendedprice", 0.5).alias("approx_median"),
-        F.percentile_approx("l_extendedprice", [0.25, 0.75], 10000).alias("approx_iqr"),
+        F.element_at(iqr, 1).alias("p25"),
+        F.element_at(iqr, 2).alias("p75"),
     )
 
 
@@ -655,11 +662,10 @@ def explode_words_topk(spark, sf_dir):
 )
 def posexplode_embedding_head(spark, sf_dir):
     e = load(spark, sf_dir, "embeddings")
-    return (
-        e.select("vec_id", F.posexplode("embedding").alias("pos", "v"))
-        .filter(F.col("pos") < 3)
-        .select("vec_id", "pos", F.round(F.col("v").cast("double"), 4).alias("val"))
-    )
+    # slice BEFORE exploding: emit 3 rows per vector, not 64-then-filter
+    return e.select(
+        "vec_id", F.posexplode(F.slice("embedding", 1, 3)).alias("pos", "v")
+    ).select("vec_id", "pos", F.round(F.col("v").cast("double"), 4).alias("val"))
 
 
 @register(

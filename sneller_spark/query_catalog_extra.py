@@ -72,7 +72,7 @@ def pivot_status_by_flag(spark, sf_dir):
 @register(
     "sessionization_gaps",
     """WITH gaps AS (
-         SELECT user_id, ts,
+         SELECT user_id, ts, event_id,
                 CASE WHEN epoch(ts) - epoch(LAG(ts) OVER w) > 1800
                           OR LAG(ts) OVER w IS NULL
                      THEN 1 ELSE 0 END AS new_sess
@@ -80,7 +80,7 @@ def pivot_status_by_flag(spark, sf_dir):
          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
        ), sess AS (
          SELECT user_id,
-                SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                     ROWS UNBOUNDED PRECEDING) AS session_id
          FROM gaps
        )
@@ -89,16 +89,19 @@ def pivot_status_by_flag(spark, sf_dir):
 )
 def sessionization_gaps(spark, sf_dir):
     """Sessionization: 30-min-gap sessions via lag + running sum —
-    the lakehouse-standard composition (no native operator needed)."""
+    the lakehouse-standard composition (no native operator needed).
+    Gaps compare FRACTIONAL epoch seconds (ts cast to double), matching
+    DuckDB's epoch(); unix_timestamp() truncates to whole seconds and
+    flips sessions whose gap falls in (1800, 1801)."""
     ev = load(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts is TIMESTAMP_NTZ: hop through timestamp (session tz is UTC) to
+    # get fractional epoch seconds; gap DIFFERENCES are tz-invariant
+    epoch = F.col("ts").cast("timestamp").cast("double")
+    prev_epoch = F.lag(epoch).over(w)
     gaps = ev.withColumn(
         "new_sess",
-        F.when(
-            (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)) > 1800)
-            | F.lag("ts").over(w).isNull(),
-            1,
-        ).otherwise(0),
+        F.when((epoch - prev_epoch > 1800) | prev_epoch.isNull(), 1).otherwise(0),
     )
     sess = gaps.withColumn(
         "session_id",

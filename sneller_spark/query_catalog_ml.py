@@ -325,6 +325,60 @@ def ann_cosine_topk_ivf(spark, sf_dir):
     return ivf_topk(e, _query_vec(spark, sf_dir), centroids, k=10, n_probe=4)
 
 
+def _index_path(sf_dir: str, kind: str) -> str:
+    import hashlib
+    import os
+
+    h = hashlib.sha256(sf_dir.encode()).hexdigest()[:10]
+    root = os.environ.get("SNELLER_SPARK_INDEX_DIR", "/tmp/sneller_spark_indexes")
+    return os.path.join(root, f"{kind}_{h}")
+
+
+@register("ann_cosine_topk_ivf_pruned", None)  # probe pruning: rows-only
+def ann_cosine_topk_ivf_pruned(spark, sf_dir):
+    """The demonstrated scale flow for IVF ANN: build-once index
+    persisted PARTITIONED BY ivf_bucket (centroids saved beside it),
+    then a query that reads only the n_probe probed directories —
+    partition pruning is asserted in tests/test_plan_shape.py."""
+    import os
+
+    import numpy as np
+
+    from .operators.similarity import (
+        ivf_topk_pruned,
+        train_ivf_centroids,
+        write_ivf_index,
+    )
+
+    path = _index_path(sf_dir, "ivf")
+    cfile = os.path.join(path, "_centroids.npy")  # leading _ -> invisible to the reader
+    if not os.path.exists(cfile):
+        e = load(spark, sf_dir, "embeddings")
+        cent = train_ivf_centroids(e, k=8)
+        write_ivf_index(e, cent, path)
+        np.save(cfile, cent)
+    cent = np.load(cfile)
+    return ivf_topk_pruned(
+        spark, path, _query_vec(spark, sf_dir), cent, k=10, n_probe=4
+    )
+
+
+@register("ann_cosine_topk_srp_pruned", None)  # probe pruning: rows-only
+def ann_cosine_topk_srp_pruned(spark, sf_dir):
+    """SRP-LSH twin of the IVF flow: persisted index partitioned by the
+    sign-random-projection bucket, multi-probe partition-pruned query."""
+    import os
+
+    from .operators.similarity import srp_topk_pruned, write_srp_index
+
+    q = _query_vec(spark, sf_dir)
+    path = _index_path(sf_dir, "srp")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        e = load(spark, sf_dir, "embeddings")
+        write_srp_index(e, dim=len(q), path=path, n_planes=6)
+    return srp_topk_pruned(spark, path, q, k=10, n_planes=6, probe_hamming=1)
+
+
 @register("tokens_unnest_histogram", None)  # generated input: rows-only
 def tokens_unnest_histogram(spark, sf_dir):
     """Unnest/explode of token arrays (SURVEY.md M7): explode the

@@ -167,3 +167,37 @@ def test_approx_aggregates_accuracy(spark, sf_dir):
     ).first()
     assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.05
     assert abs(row["p50_approx"] - row["p50_exact"]) / row["p50_exact"] < 0.02
+
+
+def test_minhash_degenerate_bucket_cap(spark):
+    """1,000 identical docs: without the bucket cap the banded
+    self-join is ~500k pairs per band; with it, O(n) star pairs to the
+    representative.  All docs must still connect (directly) to the
+    representative, and the pair count must be exactly n-1."""
+    import time
+
+    n = 1000
+    rows = [(i, "the same boilerplate text repeated verbatim for every doc") for i in range(n)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sigs = minhash_signatures(df, "doc_id", "text", n_hashes=16, shingle_k=3)
+    t0 = time.monotonic()
+    pairs = minhash_candidate_pairs(sigs, n_hashes=16, bands=4, max_bucket_size=64).toPandas()
+    elapsed = time.monotonic() - t0
+    assert len(pairs) == n - 1                      # star to min-id rep, not O(n^2)
+    assert set(pairs["id_a"]) == {0}                # representative = min id
+    assert set(pairs["id_b"]) == set(range(1, n))
+    assert (pairs["n_bands_matched"] == 4).all()    # identical docs match every band
+    assert elapsed < 60
+
+
+def test_minhash_cap_keeps_small_buckets_exact(spark, docs_df):
+    """Pairs from buckets under the cap must be identical to the
+    uncapped all-pairs join."""
+    sigs = minhash_signatures(docs_df, "doc_id", "text", n_hashes=16, shingle_k=3)
+    capped = minhash_candidate_pairs(sigs, n_hashes=16, bands=8, max_bucket_size=10_000)
+    uncapped = minhash_candidate_pairs(
+        sigs, n_hashes=16, bands=8, max_bucket_size=1_000_000, persist=False
+    )
+    a = sorted(map(tuple, capped.toPandas().values.tolist()))
+    b = sorted(map(tuple, uncapped.toPandas().values.tolist()))
+    assert a == b

@@ -119,3 +119,63 @@ def test_dict_kernel_stage_matches_oracle(spark):
         g = [None if pd.isna(v) else v for v in got[c]]
         e = [None if pd.isna(v) else v for v in exp[c]]
         assert g == e, c
+
+
+def test_dict_kernel_empty_and_null_tokens():
+    """Empty / null token rows must yield null fields, not crash —
+    including an empty array in the LAST row (reduceat start == total,
+    the round-1 IndexError)."""
+    import pyarrow as pa
+
+    from sneller_spark.pipeline.parse import (
+        decode_tokens_arrow,
+        extract_fields_arrow,
+        extract_fields_dict,
+    )
+    from sneller_spark.vocab import MOTIF_BASE
+
+    cases = [
+        [MOTIF_BASE, 0, 1],  # normal row with a match
+        [],                  # empty mid-batch
+        [0, 1, 2],           # normal row, no match
+        None,                # null row
+        [],                  # empty LAST row (the crash case)
+    ]
+    arr = pa.array(cases, type=pa.list_(pa.int32()))
+    got = extract_fields_dict(arr)
+    exp = extract_fields_arrow(decode_tokens_arrow(arr))
+    for name in got:
+        assert got[name].to_pylist() == exp[name].to_pylist(), name
+    # and an all-empty batch
+    arr2 = pa.array([[], None, []], type=pa.list_(pa.int32()))
+    got2 = extract_fields_dict(arr2)
+    assert all(v.null_count == 3 for v in got2.values())
+
+
+def test_pattern_space_static_check():
+    from sneller_spark.pipeline.parse import _pattern_can_match_space
+    from sneller_spark.vocab import PATTERN_BANK
+
+    # every built-in bank pattern must be provably space-free
+    for name, (pattern, _) in PATTERN_BANK.items():
+        assert not _pattern_can_match_space(pattern), name
+    # adversarial patterns that CAN consume the separator must be caught
+    unsafe = [
+        r"a.b",              # dot
+        r"x\sy",             # \s
+        r"k=(?P<v>[^,]+)",   # negated class containing space
+        r"a b",              # literal space
+        r"v=(?P<v>\D+)",     # \D matches space
+        r"(?P<v>\W)",        # \W matches space
+        r"a(?: |_)b",        # branch with a space arm
+    ]
+    for p in unsafe:
+        assert _pattern_can_match_space(p), p
+    safe = [
+        r"\bLEVEL=(?P<level>DEBUG|INFO)\b",
+        r"\bcode=(?P<code>\d{3})\b",
+        r"(?P<ip>\d{1,3}(?:\.\d{1,3}){3})",
+        r"(?=x )x",          # lookahead content is not part of group 0
+    ]
+    for p in safe:
+        assert not _pattern_can_match_space(p), p

@@ -110,3 +110,56 @@ def test_salted_repartition_spreads_hot_key(spark, tokens_path):
     )
     b = df.groupBy("source").agg(F.sum("n_tok").alias("total")).orderBy("source").collect()
     assert a == b
+
+
+def test_ivf_pruned_index_scans_only_probed_partitions(spark, sf_dir, tmp_path):
+    """The persisted-IVF probe must be a partition-pruned scan (the
+    expectBytes analog): an IN-list PartitionFilter on ivf_bucket with
+    exactly n_probe values, no Python boundary, and results identical
+    to the query-time-bucketing path with the same centroids."""
+    import numpy as np
+
+    from sneller_spark.operators.similarity import (
+        ivf_topk,
+        ivf_topk_pruned,
+        train_ivf_centroids,
+        write_ivf_index,
+    )
+    from sneller_spark.plans import assert_partition_pruned
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = [float(v) for v in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    cent = train_ivf_centroids(e, k=4)
+    path = str(tmp_path / "ivf_index")
+    write_ivf_index(e, cent, path)
+
+    pruned = ivf_topk_pruned(spark, path, q, cent, k=10, n_probe=2)
+    assert_partition_pruned(pruned, "ivf_bucket", n_values=2)
+    assert_no_python_in_plan(pruned)
+
+    unpruned = ivf_topk(e, q, cent, k=10, n_probe=2)
+    assert [tuple(r) for r in pruned.collect()] == [tuple(r) for r in unpruned.collect()]
+
+
+def test_srp_pruned_index_scans_only_probed_partitions(spark, sf_dir, tmp_path):
+    import numpy as np
+
+    from sneller_spark.operators.similarity import (
+        lsh_bucketed_topk,
+        srp_topk_pruned,
+        write_srp_index,
+    )
+    from sneller_spark.plans import assert_partition_pruned
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = [float(v) for v in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    path = str(tmp_path / "srp_index")
+    write_srp_index(e, dim=len(q), path=path, n_planes=6)
+
+    pruned = srp_topk_pruned(spark, path, q, k=10, n_planes=6, probe_hamming=1)
+    # query bucket + 6 hamming-1 neighbors = 7 probed partitions
+    assert_partition_pruned(pruned, "srp_bucket", n_values=7)
+    assert_no_python_in_plan(pruned)
+
+    unpruned = lsh_bucketed_topk(e, q, k=10, n_planes=6, probe_hamming=1)
+    assert [tuple(r) for r in pruned.collect()] == [tuple(r) for r in unpruned.collect()]

@@ -13,10 +13,16 @@ import pytest
 from sneller_spark.datagen import generate_chunk
 from sneller_spark.oracle import run_oracle
 from sneller_spark.pipeline.lineage import LineageLog
-from sneller_spark.pipeline.runner import read_aggregates, run_pipeline
+from sneller_spark.pipeline.runner import read_aggregates, run_pipeline, unit_id_for
 
 N = 6_000
 FILES = 4
+
+
+def _ids(input_dir: str) -> list[str]:
+    return [
+        unit_id_for(f) for f in sorted(os.listdir(input_dir)) if f.endswith(".parquet")
+    ]
 
 
 @pytest.fixture(scope="module")
@@ -50,7 +56,7 @@ def test_resume_equals_oneshot(spark, input_dir, tmp_path):
     # simulate a kill after 2 units, then resume
     p1 = run_pipeline(spark, input_dir, resumed_dir, max_units=2)
     assert p1["units_processed_this_run"] == 2
-    assert LineageLog(resumed_dir).committed_units() == {"unit-00000", "unit-00001"}
+    assert LineageLog(resumed_dir).committed_units() == set(_ids(input_dir)[:2])
     p2 = run_pipeline(spark, input_dir, resumed_dir)
     assert p2["units_processed_this_run"] == 2  # committed units skipped
     assert p2["units"] == FILES and p2["rows_in"] == N
@@ -80,7 +86,7 @@ def test_manifest_lineage_contents(spark, input_dir, tmp_path):
     out = str(tmp_path / "lineage")
     run_pipeline(spark, input_dir, out, max_units=1)
     log = LineageLog(out)
-    m = log.read_manifest("unit-00000")
+    m = log.read_manifest(_ids(input_dir)[0])
     assert m.rows_in == N // FILES
     assert m.rows_routed == m.rows_in  # routing never drops rows
     assert sum(m.per_sink_rows.values()) == m.rows_routed
@@ -100,11 +106,11 @@ def test_resume_after_partial_uncommitted_write(spark, input_dir, tmp_path):
 
     # simulate a crash mid-way through unit-00001: partial garbage
     # parquet directory exists, manifest does NOT
-    unit_dir = os.path.join(out, "routed", "unit=unit-00001", "sink_id=sink-0")
+    unit_dir = os.path.join(out, "routed", f"unit={_ids(input_dir)[1]}", "sink_id=sink-0")
     os.makedirs(unit_dir, exist_ok=True)
     pdf = generate_chunk(0, 10)
     pdf.to_parquet(os.path.join(unit_dir, "part-garbage.parquet"), index=False)
-    assert not LineageLog(out).is_committed("unit-00001")
+    assert not LineageLog(out).is_committed(_ids(input_dir)[1])
 
     stats = run_pipeline(spark, input_dir, out)  # resume
     assert stats["units"] == FILES and stats["rows_in"] == N
@@ -112,3 +118,48 @@ def test_resume_after_partial_uncommitted_write(spark, input_dir, tmp_path):
     got = _norm(read_aggregates(spark, out).toPandas())
     _, exp = run_oracle(generate_chunk(0, N))
     pd.testing.assert_frame_equal(got, _norm(exp))
+
+
+def test_new_file_sorting_first_is_processed_not_skipped(spark, tmp_path):
+    """Round-1 bug (ADVICE): positional unit ids shifted when a new
+    input file sorted BEFORE existing ones, so resume skipped the new
+    file and double-counted an old one.  Identity-keyed ids must
+    process exactly the new file and keep totals exact."""
+    d = tmp_path / "growing_input"
+    d.mkdir()
+    per = 1500
+    # initial files deliberately named to sort LATE
+    pdf_m = generate_chunk(0, per)
+    pdf_z = generate_chunk(per, 2 * per)
+    pdf_m.to_parquet(d / "m-data.parquet", index=False)
+    pdf_z.to_parquet(d / "z-data.parquet", index=False)
+
+    out = str(tmp_path / "grow_out")
+    s1 = run_pipeline(spark, str(d), out)
+    assert s1["units"] == 2 and s1["rows_in"] == 2 * per
+
+    # a new file lands that sorts FIRST
+    pdf_a = generate_chunk(2 * per, 3 * per)
+    pdf_a.to_parquet(d / "a-data.parquet", index=False)
+
+    s2 = run_pipeline(spark, str(d), out)
+    assert s2["units_processed_this_run"] == 1  # only the new file
+    assert s2["units"] == 3 and s2["rows_in"] == 3 * per
+
+    got = _norm(read_aggregates(spark, out).toPandas())
+    _, exp = run_oracle(generate_chunk(0, 3 * per))
+    pd.testing.assert_frame_equal(got, _norm(exp))
+
+
+def test_committed_id_with_changed_inputs_reprocessed(spark, tmp_path):
+    """is_committed must verify manifest inputs, not just the id."""
+    d = tmp_path / "swap_input"
+    d.mkdir()
+    generate_chunk(0, 1000).to_parquet(d / "x.parquet", index=False)
+    out = str(tmp_path / "swap_out")
+    run_pipeline(spark, str(d), out)
+    uid = _ids(str(d))[0]
+    log = LineageLog(out)
+    assert log.is_committed(uid, inputs=[str(d / "x.parquet")])
+    # same id queried with a different input list -> not committed
+    assert not log.is_committed(uid, inputs=[str(d / "y.parquet")])
