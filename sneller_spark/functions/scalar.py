@@ -38,6 +38,43 @@ def equals_fuzzy(a: Column, b: Column, max_edits: int = 2) -> Column:
     return F.levenshtein(a, b) <= max_edits
 
 
+def contains_fuzzy(data: Column, needle: str, max_edits: int = 2) -> Column:
+    """CONTAINS_FUZZY(data, needle, t): true when SOME substring of
+    data is within edit distance t of the needle — the reference's
+    has-substr-fuzzy (expr/builtin.go:1088,
+    fuzzy/edit_distance_approx.go:325 refHasSubstrFuzzy: prefix-fuzzy
+    tried at every start offset).
+
+    Exact formulation (strictly stronger than the reference's Approx3
+    lookahead kernel): any substring within distance t of an n-char
+    needle has length in [n-t, n+t], so it suffices to test the 2t+1
+    window lengths at every start position.  Entirely JVM-side: one
+    higher-order EXISTS over start positions, an OR of bounded
+    levenshtein calls per position — no Python boundary."""
+    t = int(max_edits)
+    n = len(needle)
+    nl = F.lit(needle)
+    # empty data: matches iff the whole needle can be "inserted" (the
+    # reference's lenData==0 branch) — covered by the w=0 window below
+    starts = F.sequence(F.lit(1), F.greatest(F.length(data), F.lit(1)))
+
+    def ok_at(i: Column) -> Column:
+        cond = F.lit(False)
+        for w in range(max(n - t, 0), n + t + 1):
+            cond = cond | (F.levenshtein(F.substring(data, i, F.lit(w)), nl) <= t)
+        return cond
+
+    return F.exists(starts, ok_at)
+
+
+def contains_fuzzy_unicode(data: Column, needle: str, max_edits: int = 2) -> Column:
+    """CONTAINS_FUZZY_UNICODE (expr/builtin.go:1089): the reference
+    splits ASCII (byte) vs unicode (rune) kernels; Spark strings are
+    codepoint-based already, so the unicode semantics ARE the native
+    ones and both variants share one implementation."""
+    return contains_fuzzy(data, needle, max_edits)
+
+
 # ---------------------------------------------------------------------
 # IS_SUBNET_OF (expr/builtin.go:1092) — IPv4 bit math, no UDF
 # ---------------------------------------------------------------------

@@ -256,6 +256,68 @@ def ivf_topk_pruned(
     )
 
 
+def cosine_pair_sim(va: Column, vb: Column) -> Column:
+    return _dot(va, vb) / (_norm(va) * _norm(vb))
+
+
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, EXACT all-pairs form:
+    (id_a < id_b, cos_sim >= threshold).  O(N²) by construction — use
+    only on small slices or as the verification oracle for the blocked
+    variant below."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    sim = F.round(cosine_pair_sim(F.col("_va"), F.col("_vb")), round_digits)
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", sim.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def cosine_near_dup_pairs_blocked(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    seed: int = 42,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Scale path for embedding near-dup: SRP-bucket BLOCKING — only
+    vectors sharing a sign-random-projection bucket meet in the
+    self-join (near-identical embeddings share all sign bits with high
+    probability), then exact cosine re-check.  One shuffle on the
+    bucket id, never an all-pairs cross join; the same banded-bucket
+    layout as MinHash-LSH (operators/dedup.py)."""
+    dim_probe = df.select(F.size(vec_col).alias("d")).first()
+    planes = _hyperplanes(int(dim_probe["d"]), n_planes, seed)
+    bucketed = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    ).withColumn("_b", srp_bucket_col(F.col("v"), planes))
+    left, right = bucketed.alias("l"), bucketed.alias("r")
+    sim = F.round(cosine_pair_sim(F.col("l.v"), F.col("r.v")), round_digits)
+    return (
+        left.join(
+            right,
+            (F.col("l._b") == F.col("r._b")) & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            sim.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .distinct()
+    )
+
+
 def write_srp_index(
     df: DataFrame,
     dim: int,

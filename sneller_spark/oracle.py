@@ -33,11 +33,14 @@ ROUTED_COLUMNS = [
 
 def decode_texts(tokens: pd.Series) -> pd.Series:
     vocab = build_vocab()
-    return pd.Series(
-        [" ".join(vocab[np.asarray(t)]) for t in tokens],
-        index=tokens.index,
-        dtype=object,
-    )
+    out = []
+    for t in tokens:
+        if t is None:
+            out.append(None)  # null tokens -> null text (MISSING discipline)
+        else:
+            # dtype forced: np.asarray([]) defaults to float64
+            out.append(" ".join(vocab[np.asarray(t, dtype=np.int64)]))
+    return pd.Series(out, index=tokens.index, dtype=object)
 
 
 def parse_pdf(pdf: pd.DataFrame) -> pd.DataFrame:

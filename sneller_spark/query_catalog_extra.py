@@ -225,11 +225,29 @@ def octet_char_length(spark, sf_dir):
 # SNELLER_DATASHAPE analog (vm/sysdatashape.go:24-80)
 # =====================================================================
 
-@register("datashape_profile", None)  # typeof() strings differ per engine
+@register(
+    "datashape_profile",
+    """WITH stats AS (
+         SELECT 'event_id' AS field, 'bigint' AS type, COUNT(*) AS n,
+                CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null FROM events
+         UNION ALL SELECT 'ts', 'timestamp_ntz', COUNT(*),
+                CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM events
+         UNION ALL SELECT 'user_id', 'bigint', COUNT(*),
+                CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM events
+         UNION ALL SELECT 'event_type', 'string', COUNT(*),
+                CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM events
+         UNION ALL SELECT 'value', 'double', COUNT(*),
+                CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM events
+         UNION ALL SELECT 'props', 'string', COUNT(*),
+                CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM events)
+       SELECT field, type, n, n_null FROM stats""",
+)
 def datashape_profile(spark, sf_dir):
     """Schema-profiling aggregate: per-field (type, null/missing)
-    histogram — the reference's SNELLER_DATASHAPE.  Engine-specific
-    type names make an exact oracle impossible; pytest covers it."""
+    histogram — the reference's SNELLER_DATASHAPE
+    (vm/sysdatashape.go:24-80).  The oracle maps DuckDB's engine type
+    names onto Spark typeof() names explicitly (bigint/timestamp_ntz/
+    string/double), making the profile value-checked, not rows-only."""
     ev = load(spark, sf_dir, "events")
     fields = []
     for c in ev.columns:
@@ -313,6 +331,123 @@ def ilike_case_insensitive(spark, sf_dir):
         d.filter(F.col("text").ilike("%THE FAST%"))
         .groupBy("lang")
         .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "window_rolling_frames",
+    """SELECT o_orderkey,
+              ROUND(SUM(o_totalprice) OVER (
+                  PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS roll_sum_4,
+              ROUND(AVG(o_totalprice) OVER (
+                  PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS run_avg,
+              CAST(COUNT(*) OVER (
+                  ORDER BY o_totalprice
+                  RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS BIGINT) AS near_price_n
+       FROM orders WHERE o_orderkey <= 2000""",
+)
+def window_rolling_frames(spark, sf_dir):
+    """Explicit window FRAMES beyond the running-sum shape: a bounded
+    ROWS frame (rolling 4-row sum), an unbounded ROWS frame (running
+    avg), and a numeric RANGE frame (peers within a 1000-wide price
+    band) — frame semantics the reference's window implementation
+    lacks entirely (capability upside)."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    wk = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wr = W.orderBy(F.col("o_totalprice")).rangeBetween(-1000, 0)
+    return o.select(
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(wk.rowsBetween(-3, 0)), 4).alias("roll_sum_4"),
+        F.round(
+            F.avg("o_totalprice").over(wk.rowsBetween(W.unboundedPreceding, 0)), 4
+        ).alias("run_avg"),
+        F.count(F.lit(1)).over(wr).alias("near_price_n"),
+    )
+
+
+@register(
+    "geo_tile_functions",
+    """SELECT event_id,
+              CAST(FLOOR((lon + 180.0) / 360.0 * 256) AS BIGINT) AS tile_x,
+              CAST(FLOOR((1.0 - LN(TAN(lat * PI() / 180.0)
+                                   + 1.0 / COS(lat * PI() / 180.0)) / PI()) / 2.0 * 256)
+                   AS BIGINT) AS tile_y,
+              '8/' || CAST(FLOOR((lon + 180.0) / 360.0 * 256) AS BIGINT)
+                   || '/' ||
+                   CAST(FLOOR((1.0 - LN(TAN(lat * PI() / 180.0)
+                                        + 1.0 / COS(lat * PI() / 180.0)) / PI()) / 2.0 * 256)
+                        AS BIGINT) AS tile_key,
+              ROUND(2 * 6371008.8 * ASIN(SQRT(
+                  SIN((0 - lat) * PI() / 180.0 / 2) * SIN((0 - lat) * PI() / 180.0 / 2)
+                + COS(lat * PI() / 180.0) * COS(0)
+                  * SIN((0 - lon) * PI() / 180.0 / 2) * SIN((0 - lon) * PI() / 180.0 / 2)
+              )) / 1000, 3) AS dist_km
+       FROM (SELECT event_id,
+                    (event_id % 16000) / 100.0 - 80.0 AS lat,
+                    ((event_id * 7) % 36000) / 100.0 - 180.0 AS lon
+             FROM events WHERE event_id < 2000)""",
+)
+def geo_tile_functions(spark, sf_dir):
+    """GEO_TILE_X/Y/ES + GEO_DISTANCE (expr/builtin.go:1183-1188) over
+    deterministic synthetic coordinates derived from event_id (the
+    testdata carries no geo columns; both engines derive identically)."""
+    from .functions import geo_distance_m, geo_tile_es, geo_tile_x, geo_tile_y
+
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    lat = (F.col("event_id") % 16000) / 100.0 - 80.0
+    lon = ((F.col("event_id") * 7) % 36000) / 100.0 - 180.0
+    return ev.select(
+        "event_id",
+        geo_tile_x(lon, 8).alias("tile_x"),
+        geo_tile_y(lat, 8).alias("tile_y"),
+        geo_tile_es(lat, lon, 8).alias("tile_key"),
+        F.round(geo_distance_m(lat, lon, F.lit(0.0), F.lit(0.0)) / 1000, 3).alias(
+            "dist_km"
+        ),
+    )
+
+
+@register("geo_hash_buckets", None)  # base32 geohash: pytest-verified vs python ref
+def geo_hash_buckets(spark, sf_dir):
+    """GEO_HASH (expr/builtin.go:1183) bucketing: geohash-5 prefix
+    histogram over the same synthetic coordinates.  No SQL oracle
+    (DuckDB has no geohash); tests/test_functions.py checks the kernel
+    against an independent python implementation."""
+    from .functions import geo_hash
+
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    lat = (F.col("event_id") % 16000) / 100.0 - 80.0
+    lon = ((F.col("event_id") * 7) % 36000) / 100.0 - 180.0
+    return (
+        ev.select(geo_hash(lat, lon, 5).alias("gh"))
+        .groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "contains_fuzzy_parts",
+    """SELECT p_partkey,
+              CAST(len(list_filter(
+                flatten(list_transform(range(1, greatest(len(p_name), 1) + 1), i ->
+                  list_transform([7, 8, 9], w ->
+                    levenshtein(substr(p_name, i, w), 'choclate')))),
+                d -> d <= 1)) > 0 AS INT) AS fuzzy_hit
+       FROM part WHERE p_partkey <= 400""",
+)
+def contains_fuzzy_parts(spark, sf_dir):
+    """CONTAINS_FUZZY (expr/builtin.go:1088,
+    fuzzy/edit_distance_approx.go:325): substring within edit distance
+    1 of a misspelled needle.  Oracle enumerates the same (start,
+    window) set through DuckDB levenshtein."""
+    from .functions import contains_fuzzy
+
+    p = load(spark, sf_dir, "part").filter(F.col("p_partkey") <= 400)
+    return p.select(
+        "p_partkey",
+        contains_fuzzy(F.col("p_name"), "choclate", 1).cast("int").alias("fuzzy_hit"),
     )
 
 

@@ -202,6 +202,53 @@ def ann_cosine_topk_brute(spark, sf_dir):
     return brute_force_cosine_topk(e, _query_vec(spark, sf_dir), k=10)
 
 
+@register(
+    "embedding_cosine_near_dup",
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                  FROM embeddings WHERE vec_id < 80)
+       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+              ROUND(list_dot_product(a.e, b.e)
+                    / (SQRT(list_dot_product(a.e, a.e))
+                       * SQRT(list_dot_product(b.e, b.e))), 6) AS cos_sim
+       FROM v a JOIN v b ON a.vec_id < b.vec_id
+       WHERE list_dot_product(a.e, b.e)
+             / (SQRT(list_dot_product(a.e, a.e))
+                * SQRT(list_dot_product(b.e, b.e))) >= 0.2""",
+)
+def embedding_cosine_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (exact all-pairs over a small
+    slice; the oracle is DuckDB's list_dot_product).  The scale path is
+    embedding_cosine_near_dup_blocked."""
+    from .operators.similarity import cosine_near_dup_pairs
+
+    e = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 80)
+    return cosine_near_dup_pairs(e, threshold=0.2)
+
+
+@register(
+    "embedding_cosine_near_dup_blocked",
+    """SELECT vec_id AS id_a, vec_id + 1000000 AS id_b, 1.0 AS cos_sim
+       FROM embeddings WHERE vec_id < 20""",
+)
+def embedding_cosine_near_dup_blocked(spark, sf_dir):
+    """Scale path: SRP-bucket blocking self-join + exact cosine
+    re-check — one shuffle on the bucket id, no cross join.  The entry
+    plants 20 exact duplicates (vec_id + 1e6): identical vectors share
+    every SRP sign bit, so blocking finds them DETERMINISTICALLY, and
+    the uniform-random base table has no 0.99-cosine pair to emit (a
+    0.99 cosine at 64 dims is an ~8-sigma event) — hence the exact
+    oracle."""
+    from .operators.similarity import cosine_near_dup_pairs_blocked
+
+    e = load(spark, sf_dir, "embeddings")
+    dup = e.filter(F.col("vec_id") < 20).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(1000000)
+    )
+    return cosine_near_dup_pairs_blocked(
+        e.unionByName(dup), threshold=0.99, n_planes=8
+    )
+
+
 @register("ann_cosine_topk_lsh", None)  # hyperplane pruning: rows-only
 def ann_cosine_topk_lsh(spark, sf_dir):
     e = load(spark, sf_dir, "embeddings")
@@ -270,13 +317,55 @@ def token_count_stats(spark, sf_dir):
     )
 
 
-@register("language_id_heuristic", None)  # heuristic: rows-only
+@register(
+    "language_id_heuristic",
+    """WITH w AS (
+         SELECT lang, string_split_regex(text, '\\s+') AS ws,
+                greatest(len(string_split_regex(text, '\\s+')), 1) AS nw
+         FROM documents),
+       s AS (
+         SELECT lang,
+           CAST(len(list_distinct(list_intersect(ws, ['the','a','of','and','to','in','is','it','that','for']))) AS DOUBLE) / nw AS s_en,
+           CAST(len(list_distinct(list_intersect(ws, ['der','die','das','und','ist','ein','zu','mit','von','nicht']))) AS DOUBLE) / nw AS s_de,
+           CAST(len(list_distinct(list_intersect(ws, ['el','la','de','que','y','en','un','es','por','con']))) AS DOUBLE) / nw AS s_es,
+           CAST(len(list_distinct(list_intersect(ws, ['le','la','de','et','est','un','que','pour','dans','avec']))) AS DOUBLE) / nw AS s_fr,
+           CAST(len(list_distinct(list_intersect(ws, ['de','shi','bu','le','zai','you','wo','ta','men','zhe']))) AS DOUBLE) / nw AS s_zh
+         FROM w),
+       p AS (
+         SELECT lang,
+           CASE WHEN greatest(s_en, s_de, s_es, s_fr, s_zh) = 0 THEN 'und'
+                WHEN s_en = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'en'
+                WHEN s_de = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'de'
+                WHEN s_es = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'es'
+                WHEN s_fr = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'fr'
+                ELSE 'zh' END AS lang_pred
+         FROM s)
+       SELECT lang, lang_pred, COUNT(*) AS n FROM p GROUP BY lang, lang_pred""",
+)
 def language_id_heuristic(spark, sf_dir):
+    """Stopword-intersection argmax language ID; tie-break order in the
+    oracle's CASE chain mirrors the Spark when-chain (en>de>es>fr>zh)."""
     d = load(spark, sf_dir, "documents")
     return language_id(d).groupBy("lang", "lang_pred").agg(F.count(F.lit(1)).alias("n"))
 
 
-@register("quality_features_sample", None)
+@register(
+    "quality_features_sample",
+    """WITH q AS (
+         SELECT doc_id, text,
+                string_split_regex(text, '\\s+') AS ws,
+                len(string_split_regex(text, '\\s+')) AS nw
+         FROM documents WHERE doc_id < 100)
+       SELECT doc_id,
+              CAST(nw AS INT) AS n_words,
+              ROUND(CAST(length(text) - nw + 1 AS DOUBLE) / greatest(nw, 1), 6) AS avg_word_len,
+              ROUND(CAST(len(list_distinct(list_intersect(ws,
+                    ['the','a','of','and','to','in','is','it','that','for']))) AS DOUBLE)
+                    / greatest(nw, 1), 6) AS stopword_ratio,
+              ROUND(CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+                    / greatest(length(text), 1), 6) AS punct_ratio
+       FROM q""",
+)
 def quality_features_sample(spark, sf_dir):
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     return quality_features(d).select(

@@ -70,12 +70,60 @@ def table_glob(spark: SparkSession, pattern: str, schema: T.StructType | None = 
     return out
 
 
+def table_pattern(
+    spark: SparkSession,
+    directory: str,
+    pattern: str,
+    schema: T.StructType | None = None,
+) -> DataFrame:
+    """TABLE_PATTERN: union-scan every table in `directory` whose NAME
+    (filename sans format suffix) fully matches the regex — the
+    reference lists the db's tables and regex-filters them
+    (/root/reference/plan/multi.go:73-103, expr/builtin.go:233).
+    Schemas are reconciled by name, like table_glob; no match is an
+    error (fs.ErrNotExist in the reference)."""
+    import re as _re
+
+    rx = _re.compile(pattern)
+    matched: list[str] = []
+    for fname in sorted(os.listdir(directory)):
+        stem, suffix = os.path.splitext(fname)
+        if suffix.lower() not in _SUFFIXES:
+            continue
+        if rx.fullmatch(stem):
+            matched.append(os.path.join(directory, fname))
+    if not matched:
+        raise FileNotFoundError(f"TABLE_PATTERN matched nothing: {pattern!r} in {directory}")
+    out: DataFrame | None = None
+    for p in matched:
+        df = read_table(spark, p, schema)
+        out = df if out is None else out.unionByName(df, allowMissingColumns=True)
+    return out
+
+
 def append_tables(*dfs: DataFrame) -> DataFrame:
     """`++` append: bag-union of tables, reconciling schemas by name."""
     out = dfs[0]
     for df in dfs[1:]:
         out = out.unionByName(df, allowMissingColumns=True)
     return out
+
+
+def read_records_json(
+    spark: SparkSession, path: str, records_field: str = "Records"
+) -> DataFrame:
+    """CloudTrail-style converter (/root/reference/jsonrl/cloudtrail.go:36):
+    files shaped {"Records": [obj, obj, ...]} are flattened so each
+    element of the top-level array becomes one row.  Spark's multiLine
+    JSON reader + explode + struct-expansion — schema inferred across
+    all records."""
+    from pyspark.sql import functions as F
+
+    raw = spark.read.option("multiLine", True).json(path)
+    if records_field not in raw.columns:
+        raise ValueError(f"no top-level {records_field!r} array in {path}")
+    rec = raw.select(F.explode(records_field).alias("_r"))
+    return rec.select("_r.*")
 
 
 def no_output(spark: SparkSession, schema: str = "x int") -> DataFrame:

@@ -115,3 +115,58 @@ def test_geo_distance(spark):
         geo_distance_m(F.col("a"), F.col("b"), F.col("c"), F.col("d")).alias("m")
     ).first()["m"]
     assert 330_000 < got < 350_000
+
+
+def test_contains_fuzzy_matches_dp_oracle(spark):
+    """contains_fuzzy vs an independent substring-edit-distance DP
+    (first DP row all zeros: match may start anywhere — the textbook
+    semantics of the reference's refHasSubstrFuzzy,
+    /root/reference/fuzzy/edit_distance_approx.go:325)."""
+    from sneller_spark.functions import contains_fuzzy, contains_fuzzy_unicode
+
+    def substr_edit_distance(data: str, needle: str) -> int:
+        n, m = len(needle), len(data)
+        prev = [0] * (m + 1)  # free start anywhere in data
+        for i in range(1, n + 1):
+            cur = [i] + [0] * m
+            for j in range(1, m + 1):
+                cur[j] = min(
+                    prev[j] + 1,
+                    cur[j - 1] + 1,
+                    prev[j - 1] + (needle[i - 1] != data[j - 1]),
+                )
+            prev = cur
+        return min(prev)
+
+    cases = [
+        "the server kernel panicked",
+        "kernal panic in module x",     # 1 edit inside
+        "completely unrelated text",
+        "panick",                        # 1 edit, whole string
+        "",                              # empty data
+        "pnic",                          # deletion
+        "ppaanniicc",
+        "unicode ünïcode panïc here",    # multibyte chars
+    ]
+    needle, t = "panic", 1
+    df = spark.createDataFrame([(c,) for c in cases], ["s"])
+    got = {
+        r["s"]: (r["m"], r["mu"])
+        for r in df.select(
+            "s",
+            contains_fuzzy(F.col("s"), needle, t).alias("m"),
+            contains_fuzzy_unicode(F.col("s"), needle, t).alias("mu"),
+        ).collect()
+    }
+    for c in cases:
+        exp = substr_edit_distance(c, needle) <= t
+        assert got[c][0] == exp, f"{c!r}: got {got[c][0]}, want {exp}"
+        assert got[c][1] == exp  # unicode variant identical on all inputs
+
+
+def test_contains_fuzzy_threshold_zero_is_contains(spark):
+    from sneller_spark.functions import contains_fuzzy
+
+    df = spark.createDataFrame([("hello world",), ("helo world",)], ["s"])
+    got = [r["m"] for r in df.select(contains_fuzzy(F.col("s"), "hello", 0).alias("m")).collect()]
+    assert got == [True, False]

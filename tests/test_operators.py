@@ -201,3 +201,32 @@ def test_minhash_cap_keeps_small_buckets_exact(spark, docs_df):
     a = sorted(map(tuple, capped.toPandas().values.tolist()))
     b = sorted(map(tuple, uncapped.toPandas().values.tolist()))
     assert a == b
+
+
+def test_cosine_near_dup_blocked_finds_planted(spark):
+    """Blocked (SRP) near-dup must find planted near-identical vectors
+    and must agree with the exact all-pairs form above the threshold
+    it can see (same-bucket pairs)."""
+    from sneller_spark.operators.similarity import (
+        cosine_near_dup_pairs,
+        cosine_near_dup_pairs_blocked,
+    )
+
+    rng = np.random.Generator(np.random.PCG64(7))
+    base = rng.standard_normal((40, 16))
+    rows = [(i, [float(v) for v in base[i]]) for i in range(40)]
+    # plant 5 near-dups: tiny perturbations of vectors 0..4
+    for i in range(5):
+        rows.append((100 + i, [float(v) for v in base[i] + 1e-4 * rng.standard_normal(16)]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    got = cosine_near_dup_pairs_blocked(df, threshold=0.999, n_planes=6).toPandas()
+    planted = {(i, 100 + i) for i in range(5)}
+    assert planted <= set(map(tuple, got[["id_a", "id_b"]].values.tolist()))
+    assert (got["cos_sim"] >= 0.999).all()   # never emits below threshold
+
+    exact = cosine_near_dup_pairs(df, threshold=0.999).toPandas()
+    # blocking is a subset of exact, and here (tiny perturbation) equal
+    assert set(map(tuple, got[["id_a", "id_b"]].values.tolist())) == set(
+        map(tuple, exact[["id_a", "id_b"]].values.tolist())
+    )

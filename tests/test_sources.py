@@ -98,3 +98,53 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS b_facts")
         spark.sql("DROP TABLE IF EXISTS b_dims")
+
+
+def test_table_pattern_regex_subset(spark, tmp_path):
+    """TABLE_PATTERN (plan/multi.go:73-103): regex over table NAMES
+    selects a subset, schemas reconciled by name; no match raises."""
+    from sneller_spark.sources import table_pattern
+
+    spark.createDataFrame([(1, "x")], ["id", "name"]).write.parquet(
+        str(tmp_path / "logs_2024.parquet")
+    )
+    spark.createDataFrame([(2, "y")], ["id", "name"]).write.parquet(
+        str(tmp_path / "logs_2025.parquet")
+    )
+    # different schema + name that must NOT match the pattern
+    spark.createDataFrame([(3, 1.5)], ["id", "score"]).write.parquet(
+        str(tmp_path / "metrics_2025.parquet")
+    )
+
+    got = table_pattern(spark, str(tmp_path), r"logs_\d{4}")
+    assert got.count() == 2 and set(got.columns) == {"id", "name"}
+
+    # regex is anchored (fullmatch): a prefix alone must not match
+    both = table_pattern(spark, str(tmp_path), r"(logs|metrics)_2025")
+    assert both.count() == 2 and set(both.columns) == {"id", "name", "score"}
+
+    with pytest.raises(FileNotFoundError):
+        table_pattern(spark, str(tmp_path), r"logs")  # no full-name match
+
+
+def test_read_records_json_cloudtrail_shape(spark, tmp_path):
+    """{"Records": [...]} flattening (jsonrl/cloudtrail.go:27-36)."""
+    import json
+
+    from sneller_spark.sources import read_records_json
+
+    p = tmp_path / "trail.json"
+    p.write_text(json.dumps({
+        "Records": [
+            {"eventName": "PutObject", "awsRegion": "us-east-1", "n": 1},
+            {"eventName": "GetObject", "awsRegion": "eu-west-2", "n": 2},
+        ]
+    }))
+    got = read_records_json(spark, str(p))
+    assert got.count() == 2
+    assert set(got.columns) == {"eventName", "awsRegion", "n"}
+    assert {r["eventName"] for r in got.collect()} == {"PutObject", "GetObject"}
+
+    (tmp_path / "bad.json").write_text(json.dumps({"NotRecords": []}))
+    with pytest.raises(ValueError):
+        read_records_json(spark, str(tmp_path / "bad.json"))
