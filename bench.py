@@ -49,6 +49,8 @@ HEADLINE_QUERIES = [
     "scan_project_filter",
     "docs_pipeline_route_agg",
     "ann_cosine_topk_brute",
+    "ann_cosine_topk_ivf_pruned",
+    "embedding_cosine_near_dup_blocked",
     "minhash_lsh_candidates",
     "time_bucket_epoch",
 ]

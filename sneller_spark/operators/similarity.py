@@ -93,11 +93,10 @@ def lsh_bucketed_topk(
     probe_hamming: int = 1,
     round_digits: int | None = 4,
 ) -> DataFrame:
-    """ANN: restrict the exact scan to SRP buckets within
-    `probe_hamming` bits of the query's bucket (multi-probe), then
-    exact cosine re-rank.  At scale the bucket column is precomputed
-    and the table is partitioned by it, turning each query into a
-    partition-pruned scan."""
+    """ANN over an UN-indexed table: computes buckets at query time, so
+    the scan still reads every row (pruning only saves the re-rank).
+    The scale path is write_srp_index + srp_topk_pruned below, where
+    the probe is a partition-pruned scan (plan-asserted in tests)."""
     planes = _hyperplanes(len(query), n_planes)
     qv = np.asarray(query, dtype=np.float64)
     qbucket = int(sum((1 << i) for i, p in enumerate(planes) if float(p @ qv) >= 0.0))

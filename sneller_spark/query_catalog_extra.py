@@ -353,7 +353,14 @@ def window_rolling_frames(spark, sf_dir):
     ROWS frame (rolling 4-row sum), an unbounded ROWS frame (running
     avg), and a numeric RANGE frame (peers within a 1000-wide price
     band) — frame semantics the reference's window implementation
-    lacks entirely (capability upside)."""
+    lacks entirely (capability upside).
+
+    Scale note: the RANGE frame here is deliberately UNPARTITIONED to
+    exercise the semantics, which serializes onto one task — hence the
+    hard o_orderkey bound.  At 100 TB a global order-based frame must
+    be range-partitioned first (or re-expressed as a join against
+    bucketed quantiles); the keyed frames above shuffle once on
+    o_custkey and scale normally."""
     o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
     wk = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     wr = W.orderBy(F.col("o_totalprice")).rangeBetween(-1000, 0)

@@ -57,6 +57,54 @@ def stream_pipeline(
     )
 
 
+def stateful_source_totals(
+    spark: SparkSession,
+    input_path: str,
+    query_name: str = "source_totals",
+    max_files_per_trigger: int = 2,
+):
+    """Custom STATEFUL streaming operator via applyInPandasWithState:
+    per-source running (n_rows, sum_n_tok) accumulated in GroupState
+    across micro-batches and re-emitted on every update.
+
+    This is the Spark-native shape for operators the reference cannot
+    express at all (its ingest is stateless batch): arbitrary
+    per-key state carried between triggers, Arrow-batched on both
+    sides, checkpoint-recoverable.  Totals are monotone, so the latest
+    emission per key IS the running total (tested against the batch
+    aggregate)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    stream = (
+        spark.readStream.schema(TOKENS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_path)
+    )
+
+    def update(key, pdfs, state: GroupState):
+        n, s = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += int(pdf["n_tok"].sum()) if len(pdf) else 0
+        state.update((n, s))
+        yield pd.DataFrame({"source": [key[0]], "n_rows": [n], "sum_n_tok": [s]})
+
+    out = stream.groupBy("source").applyInPandasWithState(
+        update,
+        outputStructType="source string, n_rows long, sum_n_tok long",
+        stateStructType="n long, s long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+
+
 def stream_pipeline_memory_sink(
     spark: SparkSession,
     input_path: str,

@@ -61,3 +61,38 @@ def test_streaming_file_sink_epochs(spark, stream_input, tmp_path):
     routed = spark.read.parquet(os.path.join(out, "routed_stream"))
     assert routed.count() == N
     assert os.path.isdir(os.path.join(out, "_checkpoint"))
+
+
+def test_stateful_source_totals_matches_batch(spark, stream_input):
+    """applyInPandasWithState running totals: after all files are
+    processed, the LATEST emission per source must equal the batch
+    groupBy totals (state carried correctly across micro-batches)."""
+    from sneller_spark.streaming import stateful_source_totals
+
+    q = stateful_source_totals(
+        spark, stream_input, query_name="t_stateful_totals", max_files_per_trigger=1
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = spark.sql(
+        """SELECT source, MAX(n_rows) AS n_rows, MAX(sum_n_tok) AS sum_n_tok
+           FROM t_stateful_totals GROUP BY source"""
+    ).toPandas()
+
+    exp = (
+        generate_chunk(0, N)
+        .groupby("source")
+        .agg(n_rows=("doc_id", "size"), sum_n_tok=("n_tok", "sum"))
+        .reset_index()
+    )
+    g = got.sort_values("source").reset_index(drop=True)
+    e = exp.sort_values("source").reset_index(drop=True)
+    assert list(g["source"]) == list(e["source"])
+    assert list(g["n_rows"]) == list(e["n_rows"].astype("int64"))
+    assert list(g["sum_n_tok"]) == list(e["sum_n_tok"].astype("int64"))
+    # more than one emission per source proves cross-batch state updates
+    n_emissions = spark.sql("SELECT COUNT(*) AS c FROM t_stateful_totals").first()["c"]
+    assert n_emissions > len(e)
