@@ -657,15 +657,22 @@ def explode_words_topk(spark, sf_dir):
 
 @register(
     "posexplode_embedding_head",
-    """SELECT e.vec_id, g.i - 1 AS pos, ROUND(CAST(e.embedding[g.i] AS DOUBLE), 4) AS val
+    """SELECT e.vec_id, g.i - 1 AS pos,
+              ROUND(CAST(e.embedding[g.i] AS DOUBLE), 4) + 0 AS val
        FROM embeddings e, generate_series(1, 3) g(i)""",
 )
 def posexplode_embedding_head(spark, sf_dir):
     e = load(spark, sf_dir, "embeddings")
-    # slice BEFORE exploding: emit 3 rows per vector, not 64-then-filter
+    # slice BEFORE exploding: emit 3 rows per vector, not 64-then-filter;
+    # + 0.0 normalizes IEEE -0.0 (DuckDB keeps the sign bit, the
+    # canonicalizer stringifies '-0.0' != '0.0')
     return e.select(
         "vec_id", F.posexplode(F.slice("embedding", 1, 3)).alias("pos", "v")
-    ).select("vec_id", "pos", F.round(F.col("v").cast("double"), 4).alias("val"))
+    ).select(
+        "vec_id",
+        "pos",
+        (F.round(F.col("v").cast("double"), 4) + F.lit(0.0)).alias("val"),
+    )
 
 
 @register(
@@ -866,6 +873,47 @@ def math_functions(spark, sf_dir):
         F.round(F.log("l_extendedprice"), 6).alias("lg"),
         F.round(F.pow(F.col("l_discount") + 1, 3), 6).alias("pw"),
         F.signum(F.col("l_extendedprice") - 30000).cast("double").alias("sg"),
+    )
+
+
+@register(
+    "math_functions_2",
+    """SELECT l_orderkey, l_linenumber,
+              CAST(bit_count(l_orderkey) AS INT) AS bits,
+              ROUND(round_even(l_extendedprice, 0), 1) AS rev,
+              CAST(trunc(l_extendedprice) AS DOUBLE) AS tr,
+              ROUND(cbrt(l_extendedprice), 6) AS cb,
+              ROUND(exp(l_discount) - 1, 6) AS em1,
+              ROUND(ln(1 + l_discount), 6) AS l1p,
+              ROUND(SQRT(l_tax * l_tax + l_discount * l_discount), 6) AS hyp,
+              ROUND(atan2(l_tax, l_discount + 1), 6) AS at2,
+              ROUND(degrees(l_discount), 6) AS deg,
+              ROUND(radians(l_extendedprice / 1000), 6) AS rad,
+              CAST(((l_orderkey % 7) + 7) % 7 AS BIGINT) AS pm
+       FROM lineitem WHERE l_orderkey <= 400""",
+)
+def math_functions_2(spark, sf_dir):
+    """The rest of the math family (expr/builtin.go:1101-1136):
+    BIT_COUNT, ROUND_EVEN (bankers), TRUNC, CBRT, EXPM1, LN1P, HYPOT,
+    ATAN2, DEGREES, RADIANS, PMOD."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 400)
+    price, disc, tax = F.col("l_extendedprice"), F.col("l_discount"), F.col("l_tax")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.bit_count("l_orderkey").alias("bits"),
+        F.round(F.bround(price, 0), 1).alias("rev"),
+        # numeric TRUNC: toward-zero — bigint cast (Spark's 1-arg trunc
+        # is date-only); equals DuckDB trunc() on these positive prices
+        price.cast("bigint").cast("double").alias("tr"),
+        F.round(F.cbrt(price), 6).alias("cb"),
+        F.round(F.expm1(disc), 6).alias("em1"),
+        F.round(F.log1p(disc), 6).alias("l1p"),
+        F.round(F.hypot(tax, disc), 6).alias("hyp"),
+        F.round(F.atan2(tax, disc + 1), 6).alias("at2"),
+        F.round(F.degrees(disc), 6).alias("deg"),
+        F.round(F.radians(price / 1000), 6).alias("rad"),
+        F.pmod(F.col("l_orderkey"), F.lit(7)).cast("bigint").alias("pm"),
     )
 
 

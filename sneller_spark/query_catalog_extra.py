@@ -181,8 +181,8 @@ def struct_make_and_access(spark, sf_dir):
 @register(
     "array_sum_fold",
     """SELECT vec_id,
-              ROUND(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x)), 4) AS vec_sum,
-              ROUND(list_max(CAST(embedding AS DOUBLE[])), 4) AS vec_max
+              ROUND(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x)), 4) + 0 AS vec_sum,
+              ROUND(list_max(CAST(embedding AS DOUBLE[])), 4) + 0 AS vec_max
        FROM embeddings WHERE vec_id < 100""",
 )
 def array_sum_fold(spark, sf_dir):
@@ -190,17 +190,21 @@ def array_sum_fold(spark, sf_dir):
     e = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
     return e.select(
         "vec_id",
-        F.round(
-            F.aggregate(
-                F.transform("embedding", lambda x: x.cast("double")),
-                F.lit(0.0),
-                lambda a, x: a + x,
-            ),
-            4,
+        (
+            F.round(
+                F.aggregate(
+                    F.transform("embedding", lambda x: x.cast("double")),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                ),
+                4,
+            )
+            + F.lit(0.0)  # normalize IEEE -0.0 for the value-hash compare
         ).alias("vec_sum"),
-        F.round(F.array_max(F.transform("embedding", lambda x: x.cast("double"))), 4).alias(
-            "vec_max"
-        ),
+        (
+            F.round(F.array_max(F.transform("embedding", lambda x: x.cast("double"))), 4)
+            + F.lit(0.0)
+        ).alias("vec_max"),
     )
 
 
