@@ -468,6 +468,48 @@ def ann_cosine_topk_srp_pruned(spark, sf_dir):
     return srp_topk_pruned(spark, path, q, k=10, n_planes=6, probe_hamming=1)
 
 
+@register("multimodal_asset_features", None)  # synthetic assets: rows-only
+def multimodal_asset_features(spark, sf_dir):
+    """Multimodal plumbing made driver-visible: deterministic synthetic
+    asset table (binary payload + typed meta) -> Arrow-batched image
+    feature extraction (gated codec, seeded fake in this container) +
+    JVM-side video frame sampling -> per-modality scalar stats.  All
+    output columns scalar (catalog lint)."""
+    from .operators.multimodal import image_features, sample_video_frames, synth_assets_df
+
+    assets = synth_assets_df(spark, n=96)
+    base = assets.groupBy("modality").agg(
+        F.count(F.lit(1)).alias("n_assets"),
+        F.sum(F.length("payload")).alias("total_payload_bytes"),
+    )
+    feats = image_features(assets, dim=16).select(
+        F.lit("image").alias("modality"),
+        F.element_at("features", 1).alias("f0"),
+    )
+    img = feats.groupBy("modality").agg(
+        F.count(F.lit(1)).alias("n_feature_rows"),
+        F.round(F.avg("f0"), 6).alias("avg_f0"),
+    )
+    frames = (
+        sample_video_frames(assets, every_n=8)
+        .select(F.lit("video").alias("modality"), "frame_idx")
+        .groupBy("modality")
+        .agg(F.count(F.lit(1)).alias("n_sampled_frames"))
+    )
+    return (
+        base.join(img, "modality", "left")
+        .join(frames, "modality", "left")
+        .select(
+            "modality",
+            "n_assets",
+            "total_payload_bytes",
+            F.coalesce("n_feature_rows", F.lit(0)).alias("n_feature_rows"),
+            F.coalesce("avg_f0", F.lit(0.0)).alias("avg_f0"),
+            F.coalesce("n_sampled_frames", F.lit(0)).alias("n_sampled_frames"),
+        )
+    )
+
+
 @register("tokens_unnest_histogram", None)  # generated input: rows-only
 def tokens_unnest_histogram(spark, sf_dir):
     """Unnest/explode of token arrays (SURVEY.md M7): explode the
