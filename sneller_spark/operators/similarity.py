@@ -294,12 +294,23 @@ def cosine_near_dup_pairs_blocked(
     self-join (near-identical embeddings share all sign bits with high
     probability), then exact cosine re-check.  One shuffle on the
     bucket id, never an all-pairs cross join; the same banded-bucket
-    layout as MinHash-LSH (operators/dedup.py)."""
+    layout as MinHash-LSH (operators/dedup.py).
+
+    The bucket id is an expensive expression (n_planes 64-element
+    folds), so the bucketed rows are persisted and evaluated ONCE —
+    without it both join sides recompute every dot product (measured
+    multi-second on even tiny inputs: the plane-literal expression tree
+    is too large for whole-stage codegen and falls back to interpreted
+    eval)."""
     dim_probe = df.select(F.size(vec_col).alias("d")).first()
     planes = _hyperplanes(int(dim_probe["d"]), n_planes, seed)
-    bucketed = df.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
-    ).withColumn("_b", srp_bucket_col(F.col("v"), planes))
+    from pyspark import StorageLevel
+
+    bucketed = (
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .withColumn("_b", srp_bucket_col(F.col("v"), planes))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     left, right = bucketed.alias("l"), bucketed.alias("r")
     sim = F.round(cosine_pair_sim(F.col("l.v"), F.col("r.v")), round_digits)
     return (
