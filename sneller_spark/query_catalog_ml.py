@@ -5,6 +5,8 @@ query_catalog.py."""
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from .operators.dedup import (
@@ -77,17 +79,93 @@ def docs_pipeline_route_agg(spark, sf_dir):
     )
 
 
-@register("tokens_pipeline_flagship", None)  # generated input: rows-only
+_FLAGSHIP_DIR = os.environ.get("SNELLER_SPARK_FLAGSHIP_DIR", "/tmp/sneller_spark_flagship")
+_FLAGSHIP_ROWS = 20_000
+
+
+def _ensure_flagship_inputs() -> str:
+    """Materialize the flagship's deterministic input — the tokens
+    table, the vocabulary, and the lookup/rule tables — as parquet that
+    BOTH engines read, so the driver can value-check the whole
+    parse -> enrich -> route -> aggregate DAG (not just row counts).
+    Runs at module import (the oracle SQL references these paths and
+    the driver may execute it before the Spark entry)."""
+    marker = os.path.join(_FLAGSHIP_DIR, "_READY")
+    if not os.path.exists(marker):
+        import numpy as np
+        import pandas as pd
+
+        from .datagen import generate_chunk
+        from .lookups import lookup_source_pdf, route_rules_pdf
+        from .vocab import build_vocab
+
+        os.makedirs(_FLAGSHIP_DIR, exist_ok=True)
+        generate_chunk(0, _FLAGSHIP_ROWS).to_parquet(
+            os.path.join(_FLAGSHIP_DIR, "input.parquet"), index=False
+        )
+        vocab = build_vocab()
+        pd.DataFrame(
+            {"id": np.arange(len(vocab), dtype=np.int32), "word": vocab}
+        ).to_parquet(os.path.join(_FLAGSHIP_DIR, "vocab.parquet"), index=False)
+        lookup_source_pdf().to_parquet(
+            os.path.join(_FLAGSHIP_DIR, "lookup.parquet"), index=False
+        )
+        route_rules_pdf().to_parquet(
+            os.path.join(_FLAGSHIP_DIR, "rules.parquet"), index=False
+        )
+        with open(marker, "w") as f:
+            f.write("ok")
+    return _FLAGSHIP_DIR
+
+
+_ensure_flagship_inputs()
+
+
+@register(
+    "tokens_pipeline_flagship",
+    f"""WITH tok AS (
+         SELECT doc_id, unnest(tokens) AS tid, generate_subscripts(tokens, 1) AS pos
+         FROM read_parquet('{_FLAGSHIP_DIR}/input.parquet')
+       ), txt AS (
+         SELECT t.doc_id, string_agg(v.word, ' ' ORDER BY t.pos) AS text
+         FROM tok t JOIN read_parquet('{_FLAGSHIP_DIR}/vocab.parquet') v ON v.id = t.tid
+         GROUP BY t.doc_id
+       ), parsed AS (
+         SELECT i.source, i.n_tok,
+                NULLIF(regexp_extract(x.text,
+                       'LEVEL=(DEBUG|INFO|WARN|ERROR)\\b', 1), '') AS level
+         FROM read_parquet('{_FLAGSHIP_DIR}/input.parquet') i
+         JOIN txt x USING (doc_id)
+       ), enriched AS (
+         SELECT p.*, COALESCE(l.category, 'unknown') AS category
+         FROM parsed p
+         LEFT JOIN read_parquet('{_FLAGSHIP_DIR}/lookup.parquet') l USING (source)
+       ), routed AS (
+         SELECT e.source, e.level, e.n_tok,
+                COALESCE(r.sink_id, 'sink-7') AS sink_id
+         FROM enriched e
+         LEFT JOIN read_parquet('{_FLAGSHIP_DIR}/rules.parquet') r
+           ON r.category = e.category AND r.level = e.level
+       )
+       SELECT sink_id, source, level,
+              COUNT(*) AS n_rows, CAST(SUM(n_tok) AS BIGINT) AS sum_n_tok
+       FROM routed GROUP BY sink_id, source, level""",
+)
 def tokens_pipeline_flagship(spark, sf_dir):
-    """The real flagship: parse -> enrich -> route -> aggregate over a
-    deterministically generated tokenized-sequence table (the DuckDB
-    oracle cannot see generated data; correctness is covered by the
-    pytest oracle suite instead)."""
-    from .datagen import generate_tokens_df
+    """The real flagship: parse -> enrich -> route -> aggregate over
+    the deterministic tokenized-sequence table.  The input (plus vocab
+    and lookup/rule tables) is materialized as parquet both engines
+    read, so the DuckDB oracle re-implements the ENTIRE DAG in SQL —
+    decode via vocab join + string_agg, pattern extraction, lookup
+    enrichment, rule routing with catch-all, per-sink aggregate — and
+    the driver value-checks exact per-sink counts (BASELINE.json's
+    'per-sink aggregate counts exactly equal' criterion), not just row
+    counts.  Input is independent of sf_dir by design."""
     from .pipeline.aggregate import aggregate_per_sink_salted
     from .pipeline.runner import transform
 
-    df = generate_tokens_df(spark, 20_000, partitions=16)
+    d = _ensure_flagship_inputs()
+    df = spark.read.parquet(os.path.join(d, "input.parquet"))
     return aggregate_per_sink_salted(transform(spark, df))
 
 
@@ -510,16 +588,24 @@ def multimodal_asset_features(spark, sf_dir):
     )
 
 
-@register("tokens_unnest_histogram", None)  # generated input: rows-only
+@register(
+    "tokens_unnest_histogram",
+    f"""SELECT tok, COUNT(*) AS n FROM (
+          SELECT unnest(tokens) AS tok
+          FROM read_parquet('{_FLAGSHIP_DIR}/input.parquet')
+        ) WHERE tok >= 32704 GROUP BY tok""",
+)
 def tokens_unnest_histogram(spark, sf_dir):
     """Unnest/explode of token arrays (SURVEY.md M7): explode the
-    tokens column of a generated slice and histogram the motif range —
-    the token-level analog of FROM t, t.tokens AS tok
-    (/root/reference/vm/unnest.go:27-70)."""
-    from .datagen import generate_tokens_df
+    tokens column of the materialized flagship input and histogram the
+    motif range (MOTIF_BASE = 32704) — the token-level analog of
+    FROM t, t.tokens AS tok (/root/reference/vm/unnest.go:27-70), now
+    value-checked by the driver against the same parquet."""
     from .vocab import MOTIF_BASE
 
-    df = generate_tokens_df(spark, 5_000, partitions=8)
+    assert MOTIF_BASE == 32704  # literal baked into the oracle SQL
+    d = _ensure_flagship_inputs()
+    df = spark.read.parquet(os.path.join(d, "input.parquet"))
     tok = df.select(F.explode("tokens").alias("tok"))
     return (
         tok.filter(F.col("tok") >= MOTIF_BASE)
