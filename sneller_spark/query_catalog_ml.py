@@ -100,19 +100,24 @@ def _ensure_flagship_inputs() -> str:
         from .vocab import build_vocab
 
         os.makedirs(_FLAGSHIP_DIR, exist_ok=True)
-        generate_chunk(0, _FLAGSHIP_ROWS).to_parquet(
-            os.path.join(_FLAGSHIP_DIR, "input.parquet"), index=False
-        )
         vocab = build_vocab()
-        pd.DataFrame(
-            {"id": np.arange(len(vocab), dtype=np.int32), "word": vocab}
-        ).to_parquet(os.path.join(_FLAGSHIP_DIR, "vocab.parquet"), index=False)
-        lookup_source_pdf().to_parquet(
-            os.path.join(_FLAGSHIP_DIR, "lookup.parquet"), index=False
-        )
-        route_rules_pdf().to_parquet(
-            os.path.join(_FLAGSHIP_DIR, "rules.parquet"), index=False
-        )
+        frames = {
+            "input.parquet": generate_chunk(0, _FLAGSHIP_ROWS),
+            "vocab.parquet": pd.DataFrame(
+                {"id": np.arange(len(vocab), dtype=np.int32), "word": vocab}
+            ),
+            "lookup.parquet": lookup_source_pdf(),
+            "rules.parquet": route_rules_pdf(),
+        }
+        # tmp + atomic rename: concurrent first-importers (pytest and a
+        # bench subprocess, say) must never interleave writes into the
+        # same file; the content is deterministic so last-rename wins
+        # with identical bytes
+        pid = os.getpid()
+        for fname, pdf in frames.items():
+            tmp = os.path.join(_FLAGSHIP_DIR, f".{fname}.{pid}.tmp")
+            pdf.to_parquet(tmp, index=False)
+            os.replace(tmp, os.path.join(_FLAGSHIP_DIR, fname))
         with open(marker, "w") as f:
             f.write("ok")
     return _FLAGSHIP_DIR
