@@ -594,6 +594,71 @@ def multimodal_asset_features(spark, sf_dir):
 
 
 @register(
+    "routed_rows_equality",
+    f"""WITH inp AS (
+         SELECT * FROM read_parquet('{_FLAGSHIP_DIR}/input.parquet')
+         WHERE doc_id < 'doc-0000001000'
+       ), tok AS (
+         SELECT doc_id, unnest(tokens) AS tid, generate_subscripts(tokens, 1) AS pos
+         FROM inp
+       ), txt AS (
+         SELECT t.doc_id, string_agg(v.word, ' ' ORDER BY t.pos) AS text
+         FROM tok t JOIN read_parquet('{_FLAGSHIP_DIR}/vocab.parquet') v ON v.id = t.tid
+         GROUP BY t.doc_id
+       ), parsed AS (
+         SELECT i.doc_id, i.source, i.n_tok,
+                array_to_string(i.tokens, ',') AS tokens_csv,
+                NULLIF(regexp_extract(x.text, '\\bLEVEL=(DEBUG|INFO|WARN|ERROR)\\b', 1), '') AS level,
+                CAST(NULLIF(regexp_extract(x.text, '\\bcode=(\\d{{3}})\\b', 1), '') AS INT) AS code,
+                NULLIF(regexp_extract(x.text, '\\b(\\d{{1,3}}(?:\\.\\d{{1,3}}){{3}})\\b', 1), '') AS ip,
+                CAST(NULLIF(regexp_extract(x.text, '\\blat_ms=(\\d+)\\b', 1), '') AS INT) AS lat_ms
+         FROM inp i JOIN txt x USING (doc_id)
+       ), enriched AS (
+         SELECT p.*, COALESCE(l.tenant, 'unknown') AS tenant,
+                COALESCE(l.category, 'unknown') AS category
+         FROM parsed p
+         LEFT JOIN read_parquet('{_FLAGSHIP_DIR}/lookup.parquet') l USING (source)
+       )
+       SELECT e.doc_id, e.source, e.n_tok, e.tokens_csv,
+              e.level, e.code, e.ip, e.lat_ms, e.tenant, e.category,
+              COALESCE(r.sink_id, 'sink-7') AS sink_id
+       FROM enriched e
+       LEFT JOIN read_parquet('{_FLAGSHIP_DIR}/rules.parquet') r
+         ON r.category = e.category AND r.level = e.level""",
+)
+def routed_rows_equality(spark, sf_dir):
+    """ROUTED-ROW equality, driver-checked: every column the route
+    stage emits — all four extracted fields, enrichment, sink
+    assignment, and the token array itself (serialized to CSV so the
+    value-hash compare can see it) — for the first 1,000 flagship
+    rows.  This is BASELINE.json's per-row invariant ('routed-row
+    token-array equality') lifted from pytest into the driver gate;
+    the oracle re-derives every field independently in SQL."""
+    from .pipeline.runner import transform
+
+    d = _ensure_flagship_inputs()
+    df = spark.read.parquet(os.path.join(d, "input.parquet")).filter(
+        F.col("doc_id") < "doc-0000001000"
+    )
+    routed = transform(spark, df, kernel="dict")
+    return routed.select(
+        "doc_id",
+        "source",
+        "n_tok",
+        F.array_join(F.transform("tokens", lambda t: t.cast("string")), ",").alias(
+            "tokens_csv"
+        ),
+        "level",
+        "code",
+        "ip",
+        "lat_ms",
+        "tenant",
+        "category",
+        "sink_id",
+    )
+
+
+@register(
     "tokens_unnest_histogram",
     f"""SELECT tok, COUNT(*) AS n FROM (
           SELECT unnest(tokens) AS tok
