@@ -62,6 +62,8 @@ def stateful_source_totals(
     input_path: str,
     query_name: str = "source_totals",
     max_files_per_trigger: int = 2,
+    checkpoint_dir: str | None = None,
+    output_dir: str | None = None,
 ):
     """Custom STATEFUL streaming operator via applyInPandasWithState:
     per-source running (n_rows, sum_n_tok) accumulated in GroupState
@@ -97,6 +99,28 @@ def stateful_source_totals(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+    if output_dir is not None:
+        # fault-tolerant sink: the memory sink cannot recover from a
+        # checkpoint, so the recoverable form appends each trigger's
+        # emissions to an epoch-scoped parquet directory (exactly-once
+        # under retries — an epoch overwrites itself).  GroupState is
+        # checkpointed per trigger: a restarted query resumes the
+        # per-key accumulators and processes only files the source has
+        # not committed yet (tested in test_streaming.py).
+        if checkpoint_dir is None:
+            checkpoint_dir = os.path.join(output_dir, "_checkpoint")
+
+        def sink(batch_df, epoch_id: int) -> None:
+            batch_df.write.mode("overwrite").parquet(
+                os.path.join(output_dir, f"epoch={epoch_id}")
+            )
+
+        return (
+            out.writeStream.outputMode("update")
+            .option("checkpointLocation", checkpoint_dir)
+            .foreachBatch(sink)
+            .start()
+        )
     return (
         out.writeStream.outputMode("update")
         .format("memory")

@@ -96,3 +96,71 @@ def test_stateful_source_totals_matches_batch(spark, stream_input):
     # more than one emission per source proves cross-batch state updates
     n_emissions = spark.sql("SELECT COUNT(*) AS c FROM t_stateful_totals").first()["c"]
     assert n_emissions > len(e)
+
+
+def test_stateful_state_survives_restart(spark, tmp_path):
+    """Kill the stateful query, land a new file, restart on the SAME
+    checkpoint: GroupState must resume (not recount committed files)
+    and the latest totals must equal the batch aggregate over ALL
+    files — the stateful analog of the batch runner's resume.  Uses
+    the fault-tolerant foreachBatch parquet sink (the memory sink
+    cannot recover from a checkpoint)."""
+    from sneller_spark.streaming import stateful_source_totals
+
+    d = tmp_path / "stateful_in"
+    d.mkdir()
+    out_dir = str(tmp_path / "stateful_out")
+    ckpt = str(tmp_path / "stateful_ckpt")
+    per = 1000
+    for k in range(2):
+        generate_chunk(k * per, (k + 1) * per).to_parquet(
+            d / f"part-{k:02d}.parquet", index=False
+        )
+
+    q = stateful_source_totals(
+        spark, str(d), max_files_per_trigger=1,
+        checkpoint_dir=ckpt, output_dir=out_dir,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # new file lands while the query is down
+    generate_chunk(2 * per, 3 * per).to_parquet(d / "part-02.parquet", index=False)
+
+    q2 = stateful_source_totals(
+        spark, str(d), max_files_per_trigger=1,
+        checkpoint_dir=ckpt, output_dir=out_dir,
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    emitted = spark.read.parquet(out_dir).toPandas()
+    got = (
+        emitted.groupby("source")
+        .agg(n_rows=("n_rows", "max"), sum_n_tok=("sum_n_tok", "max"))
+        .reset_index()
+    )
+    exp = (
+        generate_chunk(0, 3 * per)
+        .groupby("source")
+        .agg(n_rows=("doc_id", "size"), sum_n_tok=("n_tok", "sum"))
+        .reset_index()
+    )
+    g = got.sort_values("source").reset_index(drop=True)
+    e = exp.sort_values("source").reset_index(drop=True)
+    assert list(g["source"]) == list(e["source"])
+    assert list(g["n_rows"]) == list(e["n_rows"].astype("int64"))
+    assert list(g["sum_n_tok"]) == list(e["sum_n_tok"].astype("int64"))
+    # recovery proof: run 1 consumed its two files as batches 0..1, so
+    # every epoch >= 2 belongs to the restarted query — those epochs may
+    # contain ONLY file-3 sources (files 1-2 were not reprocessed), yet
+    # the totals above cover all three files, so the counts can only
+    # have come from recovered GroupState
+    file3_sources = set(generate_chunk(2 * per, 3 * per)["source"].unique())
+    run2 = emitted[emitted["epoch"] >= 2]
+    assert len(run2) > 0
+    assert set(run2["source"]) <= file3_sources
