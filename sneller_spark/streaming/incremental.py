@@ -129,6 +129,52 @@ def stateful_source_totals(
     )
 
 
+def watermarked_window_counts(
+    spark: SparkSession,
+    input_path: str,
+    schema: str,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window_len: str = "1 hour",
+    watermark: str = "30 minutes",
+    query_name: str = "windowed_counts",
+    max_files_per_trigger: int = 1,
+):
+    """Watermarked tumbling-window aggregate in APPEND mode: a window's
+    count is emitted exactly once, when the event-time watermark
+    (max event ts seen − `watermark`) passes its end; rows arriving
+    later than the watermark are DROPPED, never double-counted.  This
+    is the Structured-Streaming-native form of time-bucketed telemetry
+    rollups (the batch analogs are time_bucket_epoch /
+    tumbling_window_6h in the catalog); the reference has no event-time
+    semantics at all (batch ingest only, SURVEY.md §2.9)."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_path)
+    )
+    # watermarks require TIMESTAMP (event-time); NTZ sources are cast
+    # under the session timezone (UTC everywhere in this engine)
+    stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    agg = (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window_len).alias("w"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            key_col,
+            "n",
+        )
+    )
+    return (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+
+
 def stream_pipeline_memory_sink(
     spark: SparkSession,
     input_path: str,

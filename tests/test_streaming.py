@@ -164,3 +164,65 @@ def test_stateful_state_survives_restart(spark, tmp_path):
     run2 = emitted[emitted["epoch"] >= 2]
     assert len(run2) > 0
     assert set(run2["source"]) <= file3_sources
+
+
+def test_watermarked_windows_emit_once_and_drop_late(spark, tmp_path):
+    """Append-mode watermarked windows: each window emits exactly once
+    when the watermark passes its end, and a row arriving LATER than
+    the watermark is dropped (never counted, never re-emits a window)."""
+    import datetime as dt
+
+    from sneller_spark.streaming import watermarked_window_counts
+
+    d = tmp_path / "wm_in"
+    d.mkdir()
+    schema = "ts timestamp_ntz, event_type string"
+    base = dt.datetime(2026, 1, 1, 0, 0, 0)
+
+    def write(name, rows):
+        pdf = pd.DataFrame(rows, columns=["ts", "event_type"])
+        # microsecond resolution: Spark cannot read ns-timestamps
+        pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+        pdf.to_parquet(d / name, index=False)
+
+    # file 1: hours 0 and 1, plus a head event at 02:00 that pushes the
+    # watermark to 01:30 -> window [00:00, 01:00) finalizes next batch
+    write("f1.parquet", [
+        (base + dt.timedelta(minutes=5), "click"),
+        (base + dt.timedelta(minutes=40), "click"),
+        (base + dt.timedelta(minutes=70), "view"),
+        (base + dt.timedelta(hours=2), "view"),
+    ])
+    q = watermarked_window_counts(
+        spark, str(d), schema, query_name="t_wm", watermark="30 minutes"
+    )
+    try:
+        q.processAllAvailable()
+        # file 2: a LATE click at 00:50 (behind the 01:30 watermark ->
+        # must be dropped) plus hour-3 events advancing the watermark
+        write("f2.parquet", [
+            (base + dt.timedelta(minutes=50), "click"),      # LATE, dropped
+            (base + dt.timedelta(hours=3, minutes=5), "view"),
+        ])
+        q.processAllAvailable()
+        # file 3: hour-5 head to flush remaining closed windows
+        write("f3.parquet", [(base + dt.timedelta(hours=5), "click")])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = spark.sql(
+        "SELECT window_start, event_type, n FROM t_wm ORDER BY window_start, event_type"
+    ).toPandas()
+    rows = {
+        (str(r["window_start"]), r["event_type"]): int(r["n"])
+        for _, r in got.iterrows()
+    }
+    # hour-0 clicks: exactly the 2 on-time ones; the late 00:50 click
+    # was dropped (3 here would mean the watermark failed)
+    assert rows[("2026-01-01 00:00:00", "click")] == 2
+    assert rows[("2026-01-01 01:00:00", "view")] == 1
+    assert rows[("2026-01-01 02:00:00", "view")] == 1
+    assert rows[("2026-01-01 03:00:00", "view")] == 1
+    # append mode: every (window, key) appears exactly once
+    assert len(got) == len(set(zip(got["window_start"], got["event_type"])))
