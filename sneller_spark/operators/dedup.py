@@ -150,6 +150,78 @@ def minhash_candidate_pairs(
     )
 
 
+def dedup_keep_first(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """The operation a training pipeline actually runs: return the
+    SURVIVING rows — one representative (min id) per normalized-text
+    group, all original columns intact.  One window shuffle on the
+    text hash; the text itself never shuffles (rank runs over the
+    64-bit hash groups)."""
+    from pyspark.sql import Window
+
+    h = F.xxhash64(F.lower(F.trim(F.col(text_col))))
+    w = Window.partitionBy(h).orderBy(F.col(id_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 32,
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs: candidate blocking on fingerprint BANDS
+    (pigeonhole: two fingerprints within `max_hamming` bits differ in
+    at most max_hamming bands, so with bands > max_hamming they share
+    at least one identical band), then exact hamming verification via
+    bit_count(xor).  Same banded-self-join scale shape as MinHash-LSH:
+    shuffles only on tiny band keys, never all-pairs."""
+    assert bands > max_hamming, "pigeonhole needs bands > max_hamming"
+    fp = simhash_fingerprint(df, id_col, text_col, bits)
+    band_bits = bits // bands
+    mask = (1 << band_bits) - 1
+    stacked = fp.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band_idx"),
+                    F.shiftright("simhash", b * band_bits).bitwiseAND(F.lit(mask)).alias("band_val"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("b"),
+    ).select("id", "simhash", "b.band_idx", "b.band_val")
+    left, right = stacked.alias("l"), stacked.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_val") == F.col("r.band_val"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.simhash").alias("ha"),
+            F.col("r.simhash").alias("hb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def simhash_fingerprint(
     df: DataFrame, id_col: str, text_col: str, bits: int = 32
 ) -> DataFrame:

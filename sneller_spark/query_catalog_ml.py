@@ -213,6 +213,34 @@ def minhash_lsh_candidates(spark, sf_dir):
     return minhash_candidate_pairs(sigs, n_hashes=16, bands=4)
 
 
+@register(
+    "dedup_keep_first_rows",
+    """SELECT doc_id, lang, n_chars FROM (
+         SELECT doc_id, lang, n_chars,
+                MIN(doc_id) OVER (PARTITION BY lower(trim(text))) AS keep
+         FROM documents) WHERE doc_id = keep""",
+)
+def dedup_keep_first_rows(spark, sf_dir):
+    """Dedup as a pipeline stage: the SURVIVING rows (min-id
+    representative per normalized-text group), not just group stats."""
+    from .operators.dedup import dedup_keep_first
+
+    d = load(spark, sf_dir, "documents")
+    return dedup_keep_first(d, "doc_id", "text").select("doc_id", "lang", "n_chars")
+
+
+@register("simhash_near_dups", None)  # xxhash64-based: rows-only
+def simhash_near_dups(spark, sf_dir):
+    """SimHash near-dup pairs: banded blocking (pigeonhole over
+    fingerprint bands) + exact bit_count(xor) hamming verification —
+    pytest proves planted near-dups are found and the hamming cut is
+    exact."""
+    from .operators.dedup import simhash_near_dup_pairs
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    return simhash_near_dup_pairs(d, "doc_id", "text", bits=32, max_hamming=3, bands=4)
+
+
 @register("simhash_fingerprints", None)
 def simhash_fingerprints(spark, sf_dir):
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)

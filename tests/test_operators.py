@@ -230,3 +230,41 @@ def test_cosine_near_dup_blocked_finds_planted(spark):
     assert set(map(tuple, got[["id_a", "id_b"]].values.tolist())) == set(
         map(tuple, exact[["id_a", "id_b"]].values.tolist())
     )
+
+
+def test_dedup_keep_first_rows(spark, docs_df):
+    from sneller_spark.operators.dedup import dedup_keep_first, exact_dedup
+
+    kept = dedup_keep_first(docs_df, "doc_id", "text").toPandas()
+    groups = exact_dedup(docs_df, "doc_id", "text").toPandas()
+    # one survivor per group, and survivors are exactly the keep_ids
+    assert len(kept) == len(groups)
+    assert set(kept["doc_id"]) == set(groups["keep_id"])
+    # all original columns intact
+    assert set(kept.columns) == set(docs_df.columns)
+
+
+def test_simhash_near_dup_pairs_planted(spark):
+    """Planted near-identical docs must pair up within the hamming
+    budget; unrelated docs must not; reported hamming must equal the
+    exact popcount of fingerprint XOR."""
+    from sneller_spark.operators.dedup import simhash_fingerprint, simhash_near_dup_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 3
+    rows = [
+        (1, base),
+        (2, base + " extra"),                          # near-dup of 1 (1 flipped bit)
+        (3, "completely different content about spark shuffles and parquet files " * 3),
+        (4, base),                                     # exact dup of 1
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = simhash_near_dup_pairs(df, "doc_id", "text", bits=32, max_hamming=3, bands=4)
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    assert got.get((1, 4)) == 0                        # exact dup: hamming 0
+    assert (1, 2) in got and got[(1, 2)] <= 3          # near-dup found
+    assert not any(3 in p for p in got)                # unrelated never pairs
+
+    # hamming exactness vs python popcount
+    fps = {r["id"]: r["simhash"] for r in simhash_fingerprint(df, "doc_id", "text", 32).collect()}
+    for (a, b), h in got.items():
+        assert h == bin((fps[a] ^ fps[b]) & 0xFFFFFFFF).count("1")
