@@ -687,6 +687,27 @@ def routed_rows_equality(spark, sf_dir):
 
 
 @register(
+    "tokens_exact_dedup",
+    f"""SELECT source,
+               COUNT(*) AS n_seqs,
+               COUNT(DISTINCT array_to_string(tokens, ',')) AS n_unique_seqs
+        FROM read_parquet('{_FLAGSHIP_DIR}/input.parquet') GROUP BY source""",
+)
+def tokens_exact_dedup(spark, sf_dir):
+    """Sequence-level exact dedup on the pipeline's own input shape:
+    distinct token ARRAYS per source (hash of the serialized sequence —
+    the dedup a training pipeline runs before tokenized-corpus
+    ingestion)."""
+    d = _ensure_flagship_inputs()
+    df = spark.read.parquet(os.path.join(d, "input.parquet"))
+    seq = F.array_join(F.transform("tokens", lambda t: t.cast("string")), ",")
+    return df.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_seqs"),
+        F.count_distinct(seq).alias("n_unique_seqs"),
+    )
+
+
+@register(
     "tokens_unnest_histogram",
     f"""SELECT tok, COUNT(*) AS n FROM (
           SELECT unnest(tokens) AS tok
