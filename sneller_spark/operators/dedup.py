@@ -174,13 +174,22 @@ def simhash_near_dup_pairs(
     bits: int = 32,
     max_hamming: int = 3,
     bands: int = 4,
+    max_bucket_size: int = 256,
+    persist: bool = True,
 ) -> DataFrame:
     """SimHash near-dup pairs: candidate blocking on fingerprint BANDS
     (pigeonhole: two fingerprints within `max_hamming` bits differ in
     at most max_hamming bands, so with bands > max_hamming they share
     at least one identical band), then exact hamming verification via
-    bit_count(xor).  Same banded-self-join scale shape as MinHash-LSH:
-    shuffles only on tiny band keys, never all-pairs."""
+    bit_count(xor).
+
+    Scale note: a band is only bits/bands wide, so its value space is
+    SMALL (8-bit bands -> 256 values) and popular band values collide
+    heavily on large corpora.  As in minhash_candidate_pairs, buckets
+    above ``max_bucket_size`` switch from all-pairs to O(n) star pairs
+    against the bucket's min-id representative (still hamming-verified
+    exactly), so no bucket can go quadratic.  Widen bits/bands (e.g.
+    64/4 -> 16-bit bands) before raising the cap."""
     assert bands > max_hamming, "pigeonhole needs bands > max_hamming"
     fp = simhash_fingerprint(df, id_col, text_col, bits)
     band_bits = bits // bands
@@ -198,22 +207,42 @@ def simhash_near_dup_pairs(
             ])
         ).alias("b"),
     ).select("id", "simhash", "b.band_idx", "b.band_val")
-    left, right = stacked.alias("l"), stacked.alias("r")
-    cand = (
-        left.join(
-            right,
-            (F.col("l.band_idx") == F.col("r.band_idx"))
-            & (F.col("l.band_val") == F.col("r.band_val"))
-            & (F.col("l.id") < F.col("r.id")),
-        )
-        .select(
-            F.col("l.id").alias("id_a"),
-            F.col("r.id").alias("id_b"),
-            F.col("l.simhash").alias("ha"),
-            F.col("r.simhash").alias("hb"),
-        )
-        .distinct()
+    if persist:
+        from pyspark import StorageLevel
+
+        stacked = stacked.persist(StorageLevel.MEMORY_AND_DISK)
+
+    stats = stacked.groupBy("band_idx", "band_val").agg(
+        F.count(F.lit(1)).alias("_bsize"),
+        F.min("id").alias("_rep"),
+        F.min_by("simhash", "id").alias("_rep_hash"),
     )
+    tagged = stacked.join(stats, ["band_idx", "band_val"])
+
+    small = tagged.filter(F.col("_bsize") <= max_bucket_size)
+    left, right = small.alias("l"), small.alias("r")
+    small_pairs = left.join(
+        right,
+        (F.col("l.band_idx") == F.col("r.band_idx"))
+        & (F.col("l.band_val") == F.col("r.band_val"))
+        & (F.col("l.id") < F.col("r.id")),
+    ).select(
+        F.col("l.id").alias("id_a"),
+        F.col("r.id").alias("id_b"),
+        F.col("l.simhash").alias("ha"),
+        F.col("r.simhash").alias("hb"),
+    )
+
+    big_pairs = tagged.filter(
+        (F.col("_bsize") > max_bucket_size) & (F.col("id") != F.col("_rep"))
+    ).select(
+        F.col("_rep").alias("id_a"),
+        F.col("id").alias("id_b"),
+        F.col("_rep_hash").alias("ha"),
+        F.col("simhash").alias("hb"),
+    )
+
+    cand = small_pairs.unionByName(big_pairs).distinct()
     hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
     return (
         cand.withColumn("hamming", hamming)

@@ -268,3 +268,19 @@ def test_simhash_near_dup_pairs_planted(spark):
     fps = {r["id"]: r["simhash"] for r in simhash_fingerprint(df, "doc_id", "text", 32).collect()}
     for (a, b), h in got.items():
         assert h == bin((fps[a] ^ fps[b]) & 0xFFFFFFFF).count("1")
+
+
+def test_simhash_bucket_cap_star_pairs(spark):
+    """500 identical docs overflow every band bucket: the capped path
+    must emit exactly n-1 star pairs (hamming 0) to the min-id rep."""
+    n = 500
+    rows = [(i, "identical boilerplate text body repeated everywhere") for i in range(n)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    from sneller_spark.operators.dedup import simhash_near_dup_pairs
+
+    got = simhash_near_dup_pairs(
+        df, "doc_id", "text", bits=32, max_hamming=3, bands=4, max_bucket_size=64
+    ).toPandas()
+    assert len(got) == n - 1
+    assert set(got["id_a"]) == {0}
+    assert (got["hamming"] == 0).all()
