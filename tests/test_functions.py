@@ -170,3 +170,40 @@ def test_contains_fuzzy_threshold_zero_is_contains(spark):
     df = spark.createDataFrame([("hello world",), ("helo world",)], ["s"])
     got = [r["m"] for r in df.select(contains_fuzzy(F.col("s"), "hello", 0).alias("m")).collect()]
     assert got == [True, False]
+
+
+def test_contains_fuzzy_random_corpus_vs_dp(spark):
+    """300 seeded random strings over a tiny alphabet (dense edit-
+    distance space) vs the DP oracle, at thresholds 0..2, one Spark
+    job per threshold."""
+    import numpy as np
+
+    from sneller_spark.functions import contains_fuzzy
+
+    def substr_edit_distance(data: str, needle: str) -> int:
+        n, m = len(needle), len(data)
+        prev = [0] * (m + 1)
+        for i in range(1, n + 1):
+            cur = [i] + [0] * m
+            for j in range(1, m + 1):
+                cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                             prev[j - 1] + (needle[i - 1] != data[j - 1]))
+            prev = cur
+        return min(prev)
+
+    rng = np.random.Generator(np.random.PCG64(11))
+    alphabet = np.array(list("ab c"))
+    corpus = [
+        "".join(alphabet[rng.integers(0, len(alphabet), size=rng.integers(0, 13))])
+        for _ in range(300)
+    ]
+    needle = "abab"
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(corpus)], ["i", "s"])
+    for t in (0, 1, 2):
+        got = {
+            r["i"]: r["m"]
+            for r in df.select("i", contains_fuzzy(F.col("s"), needle, t).alias("m")).collect()
+        }
+        for i, s in enumerate(corpus):
+            exp = substr_edit_distance(s, needle) <= t
+            assert got[i] == exp, f"t={t} s={s!r}: got {got[i]}, want {exp}"

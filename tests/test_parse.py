@@ -179,3 +179,38 @@ def test_pattern_space_static_check():
     ]
     for p in safe:
         assert not _pattern_can_match_space(p), p
+
+
+def test_dict_equals_regex_kernel_hypothesis():
+    """Property: the sparse dict kernel equals the regex kernel on
+    ARBITRARY batches — null rows, empty arrays, any in-vocab ids, any
+    batch shape (hypothesis with shrinking; kernel-level, no Spark)."""
+    import pyarrow as pa
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from sneller_spark.pipeline.parse import (
+        decode_tokens_arrow,
+        extract_fields_arrow,
+        extract_fields_dict,
+    )
+    from sneller_spark.vocab import VOCAB_SIZE
+
+    rows = st.lists(
+        st.one_of(
+            st.none(),
+            st.lists(st.integers(0, VOCAB_SIZE - 1), max_size=40),
+        ),
+        max_size=25,
+    )
+
+    @given(rows)
+    @settings(max_examples=250, deadline=None)
+    def check(cases):
+        arr = pa.array(cases, type=pa.list_(pa.int32()))
+        got = extract_fields_dict(arr)
+        exp = extract_fields_arrow(decode_tokens_arrow(arr))
+        for name in got:
+            assert got[name].to_pylist() == exp[name].to_pylist(), name
+
+    check()
