@@ -50,7 +50,13 @@ def contains_fuzzy(data: Column, needle: str, max_edits: int = 2) -> Column:
     needle has length in [n-t, n+t], so it suffices to test the 2t+1
     window lengths at every start position.  Entirely JVM-side: one
     higher-order EXISTS over start positions, an OR of bounded
-    levenshtein calls per position — no Python boundary."""
+    levenshtein calls per position — no Python boundary.
+
+    Cost is O(len(data) * (2t+1)) bounded levenshteins per row (and a
+    per-row position array of len(data) ints): built for needle-sized
+    haystacks (names, keys, log fields).  For document-length data,
+    prefilter candidates first (e.g. rows containing a cheap anchor
+    substring of the needle) before applying this predicate."""
     t = int(max_edits)
     n = len(needle)
     nl = F.lit(needle)

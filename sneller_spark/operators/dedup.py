@@ -101,8 +101,15 @@ def minhash_candidate_pairs(
     cliques, so instead of all O(n²) pairs they emit O(n) star pairs
     to the bucket's representative (min id) — connectivity for
     downstream union-find is preserved, the join never goes quadratic.
-    ``persist`` caches the banded rows because they feed three plans
-    (bucket stats + both join sides)."""
+
+    Contract caveat under the cap: for members of an over-cap bucket,
+    ``n_bands_matched`` counts star-pair emissions (and any under-cap
+    band co-occurrences), NOT the full band-match count — an
+    r-of-b-style threshold on it is exact only for pairs whose shared
+    buckets are all under the cap.  ``persist`` caches the banded rows
+    because they feed three plans (bucket stats + both join sides);
+    Spark's ContextCleaner unpersists the cache when the returned
+    DataFrame is garbage-collected."""
     rows_per_band = n_hashes // bands
     band_cols = []
     for bi in range(bands):
@@ -153,9 +160,10 @@ def minhash_candidate_pairs(
 def dedup_keep_first(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """The operation a training pipeline actually runs: return the
     SURVIVING rows — one representative (min id) per normalized-text
-    group, all original columns intact.  One window shuffle on the
-    text hash; the text itself never shuffles (rank runs over the
-    64-bit hash groups)."""
+    group, all original columns intact.  Exactly ONE full-row shuffle
+    (hash-partitioned on the 64-bit text hash) — the minimum for
+    returning survivors with their columns; when only group STATS are
+    needed, exact_dedup shuffles just (hash, id)."""
     from pyspark.sql import Window
 
     h = F.xxhash64(F.lower(F.trim(F.col(text_col))))
@@ -171,7 +179,7 @@ def simhash_near_dup_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    bits: int = 32,
+    bits: int = 48,
     max_hamming: int = 3,
     bands: int = 4,
     max_bucket_size: int = 256,
@@ -183,13 +191,17 @@ def simhash_near_dup_pairs(
     at least one identical band), then exact hamming verification via
     bit_count(xor).
 
-    Scale note: a band is only bits/bands wide, so its value space is
-    SMALL (8-bit bands -> 256 values) and popular band values collide
-    heavily on large corpora.  As in minhash_candidate_pairs, buckets
-    above ``max_bucket_size`` switch from all-pairs to O(n) star pairs
-    against the bucket's min-id representative (still hamming-verified
-    exactly), so no bucket can go quadratic.  Widen bits/bands (e.g.
-    64/4 -> 16-bit bands) before raising the cap."""
+    Scale + recall contract: a band is bits/bands wide (default 48/4 =
+    12-bit bands, 4096 values), so popular band values still collide on
+    large corpora.  Buckets above ``max_bucket_size`` switch from
+    all-pairs to O(n) star pairs against the bucket's min-id
+    representative, so no bucket can go quadratic — but star pairs are
+    hamming-filtered like any other, so inside an over-cap bucket only
+    neighbors of the representative survive: the pigeonhole recall
+    guarantee holds ONLY for pairs that share at least one under-cap
+    band bucket.  Widen bits/bands (more band values) before raising
+    the cap; bits must stay <= 62 (the fingerprint assembles into one
+    signed LONG)."""
     assert bands > max_hamming, "pigeonhole needs bands > max_hamming"
     fp = simhash_fingerprint(df, id_col, text_col, bits)
     band_bits = bits // bands

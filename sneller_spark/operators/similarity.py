@@ -301,8 +301,24 @@ def cosine_near_dup_pairs_blocked(
     without it both join sides recompute every dot product (measured
     multi-second on even tiny inputs: the plane-literal expression tree
     is too large for whole-stage codegen and falls back to interpreted
-    eval)."""
-    dim_probe = df.select(F.size(vec_col).alias("d")).first()
+    eval).  The cache is released by Spark's ContextCleaner when the
+    returned DataFrame is garbage-collected."""
+    dim_probe = df.filter(F.col(vec_col).isNotNull()).select(
+        F.size(vec_col).alias("d")
+    ).first()
+    if dim_probe is None or dim_probe["d"] is None:
+        # empty input (or no non-null vectors): no pairs, not a crash
+        from pyspark.sql import types as T
+
+        id_t = df.schema[id_col].dataType
+        empty_schema = T.StructType(
+            [
+                T.StructField("id_a", id_t),
+                T.StructField("id_b", id_t),
+                T.StructField("cos_sim", T.DoubleType()),
+            ]
+        )
+        return df.sparkSession.createDataFrame([], empty_schema)
     planes = _hyperplanes(int(dim_probe["d"]), n_planes, seed)
     from pyspark import StorageLevel
 

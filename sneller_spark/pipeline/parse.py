@@ -385,8 +385,15 @@ def extract_fields_dict(tokens: pa.ListArray) -> dict[str, pa.Array]:
     tables = _build_dict_tables()
     offsets = tokens.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
     starts, ends = offsets[:-1], offsets[1:]
-    total = int(offsets[-1]) if len(offsets) else 0
     n = len(starts)
+    # offsets are ABSOLUTE indexes into the (unsliced) child values
+    # buffer; for a sliced ListArray the window [lo, hi) is a proper
+    # sub-range of values — hits must be searched in that window only,
+    # or pre-slice elements map to out-of-range rows (negative /
+    # past-the-end indexes) and corrupt the scatter
+    lo = int(offsets[0]) if len(offsets) else 0
+    hi = int(offsets[-1]) if len(offsets) else 0
+    total = hi - lo
 
     row_ok = ends > starts
     if tokens.null_count:
@@ -411,7 +418,8 @@ def extract_fields_dict(tokens: pa.ListArray) -> dict[str, pa.Array]:
     any_mask = np.zeros(vocab_size, dtype=bool)
     for mask_tab, _ in tables.values():
         any_mask |= mask_tab
-    hit_pos = np.flatnonzero(any_mask.take(ids, mode="clip"))
+    window = ids[lo:hi]
+    hit_pos = lo + np.flatnonzero(any_mask.take(window, mode="clip"))
     hit_ids = np.clip(ids[hit_pos], 0, vocab_size - 1)
     # row of each hit: offsets[i] <= pos < offsets[i+1]; 'right' lands
     # after any zero-width (empty) segments at the same offset

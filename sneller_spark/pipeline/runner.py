@@ -72,7 +72,9 @@ def unit_id_for(path: str) -> str:
     if base.endswith(".parquet"):
         base = base[: -len(".parquet")]
     safe = "".join(c if (c.isalnum() or c in "-_.") else "_" for c in base)
-    digest = hashlib.sha256(os.path.basename(path).encode()).hexdigest()[:8]
+    # digest the FULL normalized path: same-named files from different
+    # input directories must not collide on one output's commit log
+    digest = hashlib.sha256(os.path.abspath(path).encode()).hexdigest()[:8]
     return f"unit-{safe}-{digest}"
 
 

@@ -83,6 +83,25 @@ _FLAGSHIP_DIR = os.environ.get("SNELLER_SPARK_FLAGSHIP_DIR", "/tmp/sneller_spark
 _FLAGSHIP_ROWS = 20_000
 
 
+def _fixture_version() -> str:
+    """Content version of everything the flagship fixtures derive from
+    (datagen, vocab, lookups source bytes): a code change invalidates
+    the /tmp cache instead of silently serving stale parquet to the
+    value-checking oracle."""
+    import hashlib
+
+    from . import datagen as _dg
+    from . import lookups as _lk
+    from . import vocab as _vc
+
+    h = hashlib.sha256()
+    for mod in (_dg, _vc, _lk):
+        with open(mod.__file__, "rb") as f:
+            h.update(f.read())
+    h.update(str(_FLAGSHIP_ROWS).encode())
+    return h.hexdigest()[:16]
+
+
 def _ensure_flagship_inputs() -> str:
     """Materialize the flagship's deterministic input — the tokens
     table, the vocabulary, and the lookup/rule tables — as parquet that
@@ -91,7 +110,12 @@ def _ensure_flagship_inputs() -> str:
     Runs at module import (the oracle SQL references these paths and
     the driver may execute it before the Spark entry)."""
     marker = os.path.join(_FLAGSHIP_DIR, "_READY")
-    if not os.path.exists(marker):
+    version = _fixture_version()
+    current = None
+    if os.path.exists(marker):
+        with open(marker) as f:
+            current = f.read().strip()
+    if current != version:
         import numpy as np
         import pandas as pd
 
@@ -119,7 +143,7 @@ def _ensure_flagship_inputs() -> str:
             pdf.to_parquet(tmp, index=False)
             os.replace(tmp, os.path.join(_FLAGSHIP_DIR, fname))
         with open(marker, "w") as f:
-            f.write("ok")
+            f.write(version)
     return _FLAGSHIP_DIR
 
 
@@ -238,7 +262,7 @@ def simhash_near_dups(spark, sf_dir):
     from .operators.dedup import simhash_near_dup_pairs
 
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
-    return simhash_near_dup_pairs(d, "doc_id", "text", bits=32, max_hamming=3, bands=4)
+    return simhash_near_dup_pairs(d, "doc_id", "text", bits=48, max_hamming=3, bands=4)
 
 
 @register("simhash_fingerprints", None)
@@ -526,10 +550,19 @@ def ann_cosine_topk_ivf(spark, sf_dir):
 
 
 def _index_path(sf_dir: str, kind: str) -> str:
+    """Cache key includes the source table's (mtime, size): regenerated
+    embeddings at the same path must never silently reuse a stale
+    partitioned index."""
     import hashlib
     import os
 
-    h = hashlib.sha256(sf_dir.encode()).hexdigest()[:10]
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(src)
+        tok = f"{st.st_mtime_ns}_{st.st_size}"
+    except OSError:
+        tok = "missing"
+    h = hashlib.sha256(f"{sf_dir}|{tok}".encode()).hexdigest()[:10]
     root = os.environ.get("SNELLER_SPARK_INDEX_DIR", "/tmp/sneller_spark_indexes")
     return os.path.join(root, f"{kind}_{h}")
 

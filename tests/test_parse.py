@@ -214,3 +214,27 @@ def test_dict_equals_regex_kernel_hypothesis():
             assert got[name].to_pylist() == exp[name].to_pylist(), name
 
     check()
+
+
+def test_dict_kernel_on_sliced_arrays():
+    """A SLICED ListArray keeps absolute offsets into the full child
+    buffer; the kernel must search hits only inside the slice window
+    (round-2 review bug: pre-slice motifs leaked into row -1)."""
+    import pyarrow as pa
+
+    from sneller_spark.pipeline.parse import (
+        decode_tokens_arrow,
+        extract_fields_arrow,
+        extract_fields_dict,
+    )
+    from sneller_spark.vocab import MOTIF_BASE
+
+    base = pa.array(
+        [[MOTIF_BASE, 0, 1], [0, 1], [2, 3], [MOTIF_BASE + 1, 5], [6]],
+        type=pa.list_(pa.int32()),
+    )
+    for sl in (base.slice(1), base.slice(0, 3), base.slice(1, 3), base.slice(2)):
+        got = extract_fields_dict(sl)
+        exp = extract_fields_arrow(decode_tokens_arrow(sl))
+        for name in got:
+            assert got[name].to_pylist() == exp[name].to_pylist(), (name, sl.offset)

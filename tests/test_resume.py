@@ -21,7 +21,9 @@ FILES = 4
 
 def _ids(input_dir: str) -> list[str]:
     return [
-        unit_id_for(f) for f in sorted(os.listdir(input_dir)) if f.endswith(".parquet")
+        unit_id_for(os.path.join(input_dir, f))
+        for f in sorted(os.listdir(input_dir))
+        if f.endswith(".parquet")
     ]
 
 
@@ -163,3 +165,25 @@ def test_committed_id_with_changed_inputs_reprocessed(spark, tmp_path):
     assert log.is_committed(uid, inputs=[str(d / "x.parquet")])
     # same id queried with a different input list -> not committed
     assert not log.is_committed(uid, inputs=[str(d / "y.parquet")])
+
+
+def test_same_basename_different_dirs_not_confused(spark, tmp_path):
+    """Two input dirs both containing x.parquet feeding ONE output:
+    identity-keyed ids must differ (round-2 review: basename-only
+    digest collided and silently skipped the second file)."""
+    d1, d2 = tmp_path / "day1", tmp_path / "day2"
+    d1.mkdir(), d2.mkdir()
+    generate_chunk(0, 800).to_parquet(d1 / "x.parquet", index=False)
+    generate_chunk(800, 2000).to_parquet(d2 / "x.parquet", index=False)
+    assert unit_id_for(str(d1 / "x.parquet")) != unit_id_for(str(d2 / "x.parquet"))
+
+    out = str(tmp_path / "multi_out")
+    s1 = run_pipeline(spark, str(d1), out)
+    s2 = run_pipeline(spark, str(d2), out)
+    assert s1["rows_in"] == 800
+    assert s2["units_processed_this_run"] == 1  # day2's x.parquet NOT skipped
+    assert s2["units"] == 2 and s2["rows_in"] == 2000
+
+    got = _norm(read_aggregates(spark, out).toPandas())
+    _, exp = run_oracle(generate_chunk(0, 2000))
+    pd.testing.assert_frame_equal(got, _norm(exp))
