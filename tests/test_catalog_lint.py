@@ -38,3 +38,17 @@ def test_every_oracle_names_a_registered_entry():
     for name, entry in CATALOG.items():
         if entry.oracle is not None:
             assert isinstance(entry.oracle, str) and entry.oracle.strip(), name
+
+
+def test_limit_oracles_carry_order_by():
+    """Determinism discipline: any oracle with LIMIT must also have an
+    ORDER BY (a LIMIT without total order compares nondeterministic row
+    sets across engines)."""
+    import re
+
+    for name, entry in CATALOG.items():
+        if entry.oracle is None:
+            continue
+        sql = entry.oracle.upper()
+        if re.search(r"\bLIMIT\b", sql):
+            assert "ORDER BY" in sql, f"{name}: LIMIT without ORDER BY in oracle"
