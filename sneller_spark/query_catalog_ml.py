@@ -150,9 +150,7 @@ def _ensure_flagship_inputs() -> str:
 _ensure_flagship_inputs()
 
 
-@register(
-    "tokens_pipeline_flagship",
-    f"""WITH tok AS (
+_FLAGSHIP_AGG_ORACLE = f"""WITH tok AS (
          SELECT doc_id, unnest(tokens) AS tid, generate_subscripts(tokens, 1) AS pos
          FROM read_parquet('{_FLAGSHIP_DIR}/input.parquet')
        ), txt AS (
@@ -178,8 +176,10 @@ _ensure_flagship_inputs()
        )
        SELECT sink_id, source, level,
               COUNT(*) AS n_rows, CAST(SUM(n_tok) AS BIGINT) AS sum_n_tok
-       FROM routed GROUP BY sink_id, source, level""",
-)
+       FROM routed GROUP BY sink_id, source, level"""
+
+
+@register("tokens_pipeline_flagship", _FLAGSHIP_AGG_ORACLE)
 def tokens_pipeline_flagship(spark, sf_dir):
     """The real flagship: parse -> enrich -> route -> aggregate over
     the deterministic tokenized-sequence table.  The input (plus vocab
@@ -196,6 +196,22 @@ def tokens_pipeline_flagship(spark, sf_dir):
     d = _ensure_flagship_inputs()
     df = spark.read.parquet(os.path.join(d, "input.parquet"))
     return aggregate_per_sink_salted(transform(spark, df))
+
+
+@register("tokens_pipeline_jvm_kernel", _FLAGSHIP_AGG_ORACLE)
+def tokens_pipeline_jvm_kernel(spark, sf_dir):
+    """Same DAG, same oracle, ZERO-Python kernel: vocab-literal decode
+    + regexp_extract under whole-stage codegen (transform(kernel=
+    'jvm')).  A green row here proves the three parse kernels are
+    interchangeable at the driver gate, not just in pytest."""
+    from .pipeline.aggregate import aggregate_per_sink_salted
+    from .pipeline.runner import transform
+
+    d = _ensure_flagship_inputs()
+    df = spark.read.parquet(os.path.join(d, "input.parquet"))
+    return aggregate_per_sink_salted(
+        transform(spark, df, passthrough=["doc_id", "source", "n_tok"], kernel="jvm")
+    )
 
 
 # =====================================================================

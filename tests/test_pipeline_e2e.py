@@ -125,3 +125,16 @@ def test_oracle_aggregate_consistency(oracle_out):
     assert agg["sum_n_tok"].sum() == routed["n_tok"].sum()
     recomputed = aggregate_pdf(routed)
     pd.testing.assert_frame_equal(agg, recomputed)
+
+
+def test_jvm_kernel_transform_matches_oracle(spark, input_pdf, oracle_out):
+    """transform(kernel='jvm') — the zero-Python whole-stage-codegen
+    path — must aggregate identically to the oracle (and therefore to
+    the dict/regex kernels)."""
+    _, exp_agg = oracle_out
+    df = _spark_input(spark, input_pdf, 8)
+    agg = aggregate_per_sink_salted(
+        transform(spark, df, passthrough=["doc_id", "source", "n_tok"], kernel="jvm")
+    )
+    got = _norm_agg(agg.toPandas())
+    pd.testing.assert_frame_equal(got, _norm_agg(exp_agg))
