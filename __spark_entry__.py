@@ -100,6 +100,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    # several flagship oracles read generated parquet fixtures; the
+    # driver may run the SQL before any Spark entry, so materialize
+    # them here (lazy — importing this module touches no filesystem)
+    query_catalog_ml._ensure_flagship_inputs()
     return {
         name: CATALOG[name].oracle
         for name in _ordered_names()

@@ -79,24 +79,33 @@ def bench_pipeline(spark, n_rows: int) -> dict:
     aggregate_per_sink_salted(transform(spark, df.limit(20_000))).collect()
 
     # aggregation path: explicit pruning — tokens feed the kernel but
-    # are not echoed back (see parse_stage passthrough)
+    # are not echoed back (see parse_stage passthrough).  Best-of-3:
+    # a single sample on a shared box measures the neighbor's workload
+    # (round-2 lesson — same discipline as bench_queries below).
     agg_cols = ["doc_id", "source", "n_tok"]
-    t0 = time.monotonic()
-    agg = aggregate_per_sink_salted(transform(spark, df, passthrough=agg_cols))
-    total = agg.groupBy().sum("n_rows").collect()[0][0]
-    agg_sec = time.monotonic() - t0
-    assert total == n_rows, (total, n_rows)
+    agg_sec = float("inf")
+    for _ in range(3):
+        t0 = time.monotonic()
+        agg = aggregate_per_sink_salted(transform(spark, df, passthrough=agg_cols))
+        total = agg.groupBy().sum("n_rows").collect()[0][0]
+        agg_sec = min(agg_sec, time.monotonic() - t0)
+        assert total == n_rows, (total, n_rows)
 
     # pure-scan throughput (no python): read + reduce the full tokens
     # column JVM-side — the apples-to-apples number against the
     # reference's GB/s scan claims (/root/reference/README.md:91-97)
     from pyspark.sql import functions as F
 
-    t0 = time.monotonic()
-    total_tokens = (
-        spark.read.parquet(path).select(F.sum(F.size("tokens")).alias("s")).collect()[0]["s"]
-    )
-    scan_sec = time.monotonic() - t0
+    scan_sec = float("inf")
+    total_tokens = 0
+    for _ in range(3):
+        t0 = time.monotonic()
+        total_tokens = (
+            spark.read.parquet(path)
+            .select(F.sum(F.size("tokens")).alias("s"))
+            .collect()[0]["s"]
+        )
+        scan_sec = min(scan_sec, time.monotonic() - t0)
     logical_bytes = total_tokens * 4
     disk_bytes = sum(
         os.path.getsize(os.path.join(path, f))
@@ -105,10 +114,12 @@ def bench_pipeline(spark, n_rows: int) -> dict:
     )
 
     out_tmp = os.path.join(BENCH_DATA, "_routed_bench_out")
-    shutil.rmtree(out_tmp, ignore_errors=True)
-    t0 = time.monotonic()
-    write_routed(transform(spark, df), out_tmp)
-    write_sec = time.monotonic() - t0
+    write_sec = float("inf")
+    for _ in range(2):  # write pass is the expensive one: best-of-2
+        shutil.rmtree(out_tmp, ignore_errors=True)
+        t0 = time.monotonic()
+        write_routed(transform(spark, df), out_tmp)
+        write_sec = min(write_sec, time.monotonic() - t0)
     shutil.rmtree(out_tmp, ignore_errors=True)
 
     return {
@@ -123,18 +134,25 @@ def bench_pipeline(spark, n_rows: int) -> dict:
     }
 
 
-def bench_queries(spark, sf_dir: str) -> dict[str, float]:
+def bench_queries(spark, sf_dir: str, rounds: int = 3) -> dict[str, float]:
+    """Interleaved best-of-N: one warm pass, then `rounds` round-robin
+    passes over the whole query list, keeping each query's MIN.  On a
+    shared box a single timed sample measures the neighbor's workload
+    (round-2 lesson: 2-6x phantom regressions on byte-identical plans);
+    interleaving decorrelates per-query noise from any one contention
+    window — the same discipline as tools/bench_scaling.py."""
     from sneller_spark import query_catalog_ml  # noqa: F401
     from sneller_spark.query_catalog import CATALOG
 
-    out: dict[str, float] = {}
     for name in HEADLINE_QUERIES:
-        fn = CATALOG[name].fn
-        fn(spark, sf_dir).collect()  # warm (plan + IO cache)
-        t0 = time.monotonic()
-        fn(spark, sf_dir).collect()
-        out[name] = round(time.monotonic() - t0, 3)
-    return out
+        CATALOG[name].fn(spark, sf_dir).collect()  # warm (plan + IO cache)
+    best: dict[str, float] = {n: float("inf") for n in HEADLINE_QUERIES}
+    for _ in range(rounds):
+        for name in HEADLINE_QUERIES:
+            t0 = time.monotonic()
+            CATALOG[name].fn(spark, sf_dir).collect()
+            best[name] = min(best[name], time.monotonic() - t0)
+    return {n: round(s, 3) for n, s in best.items()}
 
 
 def main() -> None:

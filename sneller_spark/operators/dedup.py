@@ -87,7 +87,7 @@ def minhash_candidate_pairs(
     sigs: DataFrame,
     n_hashes: int = 32,
     bands: int = 8,
-    max_bucket_size: int = 64,
+    max_bucket_size: int | None = None,
     persist: bool = True,
 ) -> DataFrame:
     """LSH banding: split the signature into `bands` bands of
@@ -101,6 +101,9 @@ def minhash_candidate_pairs(
     cliques, so instead of all O(n²) pairs they emit O(n) star pairs
     to the bucket's representative (min id) — connectivity for
     downstream union-find is preserved, the join never goes quadratic.
+    ``None`` (default) keeps the exact uncapped band-join; scale-path
+    call sites (the minhash_lsh_candidates catalog entry) opt in
+    explicitly.
 
     Contract caveat under the cap: for members of an over-cap bucket,
     ``n_bands_matched`` counts star-pair emissions (and any under-cap
@@ -129,6 +132,18 @@ def minhash_candidate_pairs(
         from pyspark import StorageLevel
 
         stacked = stacked.persist(StorageLevel.MEMORY_AND_DISK)
+
+    if max_bucket_size is None:
+        left, right = stacked.alias("l"), stacked.alias("r")
+        pairs = left.join(
+            right,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l.id") < F.col("r.id")),
+        ).select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        return pairs.groupBy("id_a", "id_b").agg(
+            F.count(F.lit(1)).alias("n_bands_matched")
+        )
 
     stats = stacked.groupBy("band_idx", "band_hash").agg(
         F.count(F.lit(1)).alias("_bsize"), F.min("id").alias("_rep")
@@ -291,15 +306,43 @@ def simhash_fingerprint(
 
 
 def jaccard_similarity_pairs(
-    df: DataFrame, id_col: str, text_col: str, shingle_k: int = 3, min_sim: float = 0.5
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 3,
+    min_sim: float = 0.5,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs that share at least one
-    shingle (inverted-index join — never a full cross join)."""
+    shingle (inverted-index join — never a full cross join).
+
+    Hot-shingle guard (the 100 TB case): a boilerplate k-gram shared by
+    m documents contributes m² rows to the inverted-index join, so one
+    stop-shingle ("terms of service use") makes the stage quadratic.
+    With ``max_doc_freq`` set, shingles whose document frequency
+    exceeds it are dropped BEFORE the join — the classic stop-shingle
+    filter.  Contract under the cap: the metric becomes Jaccard over
+    the sub-threshold shingle sets (a self-consistent stopword-removed
+    similarity: both the intersection count and the per-doc set sizes
+    are computed over the SAME filtered universe), and a pair is only
+    discoverable if it shares at least one sub-threshold shingle.  For
+    corpora where no shingle reaches the cap the result is bit-
+    identical to the uncapped exact form.  ``None`` (default) keeps
+    exact full-universe Jaccard."""
     sh = (
         ngram_shingles(df, text_col, shingle_k)
         .select(F.col(id_col).alias("id"), F.explode("shingles").alias("shingle"))
         .distinct()
     )
+    if max_doc_freq is not None:
+        from pyspark.sql import Window
+
+        # document frequency per shingle; one extra aggregation on the
+        # already-shuffled (shingle) key, then the hot tail is gone
+        df_w = Window.partitionBy("shingle")
+        sh = sh.withColumn("_df", F.count(F.lit(1)).over(df_w)).filter(
+            F.col("_df") <= max_doc_freq
+        ).drop("_df")
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
     l, r = sh.alias("l"), sh.alias("r")
     inter = (

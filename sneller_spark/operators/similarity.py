@@ -288,6 +288,7 @@ def cosine_near_dup_pairs_blocked(
     n_planes: int = 8,
     seed: int = 42,
     round_digits: int = 6,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Scale path for embedding near-dup: SRP-bucket BLOCKING — only
     vectors sharing a sign-random-projection bucket meet in the
@@ -295,6 +296,20 @@ def cosine_near_dup_pairs_blocked(
     probability), then exact cosine re-check.  One shuffle on the
     bucket id, never an all-pairs cross join; the same banded-bucket
     layout as MinHash-LSH (operators/dedup.py).
+
+    Degenerate-bucket guard (the 100 TB case): with 8 planes there are
+    only 256 buckets, and a corpus of near-identical boilerplate
+    embeddings piles into ONE of them, making the self-join quadratic
+    in that bucket's size.  With ``max_bucket_size`` set, buckets above
+    the cap emit O(n) star candidates against the bucket's min-id
+    representative instead of all O(n²) pairs — the same guard as
+    minhash_candidate_pairs / simhash_near_dup_pairs.  Star candidates
+    still pass the exact cosine re-check, so every emitted pair is a
+    true near-dup; the recall contract under the cap is that two
+    members of an over-cap bucket are linked only THROUGH the
+    representative (connectivity for downstream union-find is
+    preserved), not pairwise.  ``None`` (default) keeps the exact
+    all-pairs-within-bucket behavior.
 
     The bucket id is an expensive expression (n_planes 64-element
     folds), so the bucketed rows are persisted and evaluated ONCE —
@@ -327,18 +342,47 @@ def cosine_near_dup_pairs_blocked(
         .withColumn("_b", srp_bucket_col(F.col("v"), planes))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    left, right = bucketed.alias("l"), bucketed.alias("r")
-    sim = F.round(cosine_pair_sim(F.col("l.v"), F.col("r.v")), round_digits)
-    return (
-        left.join(
+    if max_bucket_size is None:
+        left, right = bucketed.alias("l"), bucketed.alias("r")
+        cand = left.join(
             right,
             (F.col("l._b") == F.col("r._b")) & (F.col("l.id") < F.col("r.id")),
-        )
-        .select(
+        ).select(
             F.col("l.id").alias("id_a"),
             F.col("r.id").alias("id_b"),
-            sim.alias("cos_sim"),
+            F.col("l.v").alias("va"),
+            F.col("r.v").alias("vb"),
         )
+    else:
+        stats = bucketed.groupBy("_b").agg(
+            F.count(F.lit(1)).alias("_bsize"),
+            F.min("id").alias("_rep"),
+            F.min_by("v", "id").alias("_rep_v"),
+        )
+        tagged = bucketed.join(stats, "_b")
+        small = tagged.filter(F.col("_bsize") <= max_bucket_size)
+        left, right = small.alias("l"), small.alias("r")
+        small_pairs = left.join(
+            right,
+            (F.col("l._b") == F.col("r._b")) & (F.col("l.id") < F.col("r.id")),
+        ).select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.v").alias("va"),
+            F.col("r.v").alias("vb"),
+        )
+        big_pairs = tagged.filter(
+            (F.col("_bsize") > max_bucket_size) & (F.col("id") != F.col("_rep"))
+        ).select(
+            F.col("_rep").alias("id_a"),
+            F.col("id").alias("id_b"),
+            F.col("_rep_v").alias("va"),
+            F.col("v").alias("vb"),
+        )
+        cand = small_pairs.unionByName(big_pairs)
+    sim = F.round(cosine_pair_sim(F.col("va"), F.col("vb")), round_digits)
+    return (
+        cand.select("id_a", "id_b", sim.alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
         .distinct()
     )

@@ -43,8 +43,23 @@ class UnitManifest:
     per_sink_rows: dict[str, int]
     per_partition_rows: dict[str, int]  # spark partition id -> rows (lineage)
     wall_ms: float
+    # file-identity fingerprint [basename, size, mtime_ns] per input:
+    # an input rewritten in place (same name, new content) must not be
+    # treated as committed — the FileTree ETag/mtime identity check
+    # (/root/reference/db/sync.go:366-430).  Empty on legacy manifests,
+    # which fall back to basename-only comparison.
+    input_identity: list = field(default_factory=list)
     committed_at: float = field(default_factory=time.time)
     extra: dict[str, Any] = field(default_factory=dict)
+
+
+def file_identity(paths: list[str]) -> list:
+    """Sorted [basename, size, mtime_ns] fingerprint for a file list."""
+    out = []
+    for p in paths:
+        st = os.stat(p)
+        out.append([os.path.basename(p), st.st_size, st.st_mtime_ns])
+    return sorted(out)
 
 
 class LineageLog:
@@ -63,20 +78,28 @@ class LineageLog:
 
     def is_committed(self, unit_id: str, inputs: list[str] | None = None) -> bool:
         """A unit only counts as committed if its manifest exists AND
-        (when `inputs` is given) the manifest's recorded input files
-        match the unit's current file list by basename — a manifest for
-        the same id over different inputs must be reprocessed (the
-        FileTree-identity check, /root/reference/db/sync.go:366-430)."""
+        (when `inputs` is given) the manifest's recorded input identity
+        — (basename, size, mtime_ns) per file — matches the unit's
+        current files: an input rewritten in place with the same name
+        must be reprocessed (the FileTree-identity check,
+        /root/reference/db/sync.go:366-430).  Manifests written before
+        input_identity existed fall back to basename-only comparison."""
         path = os.path.join(self.manifest_dir, f"{unit_id}.json")
         if not os.path.exists(path):
             return False
         if inputs is None:
             return True
         try:
-            recorded = self.read_manifest(unit_id).inputs
+            m = self.read_manifest(unit_id)
         except (OSError, ValueError, TypeError):
             return False
-        return sorted(os.path.basename(f) for f in recorded) == sorted(
+        if m.input_identity:
+            try:
+                current = file_identity(inputs)
+            except OSError:
+                return False
+            return [list(e) for e in m.input_identity] == current
+        return sorted(os.path.basename(f) for f in m.inputs) == sorted(
             os.path.basename(f) for f in inputs
         )
 

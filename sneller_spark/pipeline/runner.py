@@ -23,12 +23,45 @@ from pyspark.sql import functions as F
 from ..lookups import lookup_source_df, route_rules_df
 from .aggregate import aggregate_per_sink, aggregate_per_sink_salted
 from .enrich import enrich_stage
-from .lineage import LineageLog, UnitManifest
+from .lineage import LineageLog, UnitManifest, file_identity
 from .parse import parse_stage
 from .route import route_stage
 
 ROUTED_SUBDIR = "routed"
 AGG_SUBDIR = "aggregates"
+
+# Output-layout version: bumped whenever the unit-id scheme changes.
+# The final aggregate reads the WHOLE routed dir and total_stats() sums
+# every manifest, so unit=* state written under an older id scheme
+# would silently double-count every row once the same inputs re-enter
+# under new ids.  Resuming an out_dir stamped with a different (or
+# missing) version is refused instead.
+LAYOUT_VERSION = "unit-ids-v3-realpath"
+
+
+def _check_layout_version(out_dir: str, routed_dir: str, log) -> None:
+    """Refuse to resume an out_dir whose unit-id layout predates
+    LAYOUT_VERSION; stamp fresh output dirs atomically."""
+    marker = os.path.join(out_dir, "_LAYOUT")
+    current = None
+    if os.path.exists(marker):
+        with open(marker) as f:
+            current = f.read().strip()
+    if current == LAYOUT_VERSION:
+        return
+    has_state = os.path.isdir(routed_dir) or log.committed_units()
+    if has_state:
+        raise ValueError(
+            f"output dir {out_dir!r} holds pipeline state written under "
+            f"layout {current or 'pre-versioning'!r}, but this build uses "
+            f"{LAYOUT_VERSION!r}; resuming would double-count rows — use a "
+            "fresh output dir (or delete the stale routed/ and manifests/)"
+        )
+    os.makedirs(out_dir, exist_ok=True)
+    tmp = f"{marker}.{os.getpid()}.tmp"
+    with open(tmp, "w") as f:
+        f.write(LAYOUT_VERSION)
+    os.replace(tmp, marker)
 
 
 def transform(
@@ -85,8 +118,11 @@ def unit_id_for(path: str) -> str:
         base = base[: -len(".parquet")]
     safe = "".join(c if (c.isalnum() or c in "-_.") else "_" for c in base)
     # digest the FULL normalized path: same-named files from different
-    # input directories must not collide on one output's commit log
-    digest = hashlib.sha256(os.path.abspath(path).encode()).hexdigest()[:8]
+    # input directories must not collide on one output's commit log.
+    # realpath (not abspath) so the same file addressed via a symlink,
+    # "..", or a relative path cannot fork a second unit id — duplicate
+    # ids for one physical input would double-count on resume.
+    digest = hashlib.sha256(os.path.realpath(path).encode()).hexdigest()[:8]
     return f"unit-{safe}-{digest}"
 
 
@@ -139,6 +175,7 @@ def run_pipeline(
     log = LineageLog(out_dir)
     routed_dir = os.path.join(out_dir, ROUTED_SUBDIR)
     units = list_units(input_path)
+    _check_layout_version(out_dir, routed_dir, log)
     todo = [
         (uid, files)
         for uid, files in units
@@ -168,6 +205,7 @@ def run_pipeline(
             UnitManifest(
                 unit_id=unit_id,
                 inputs=files,
+                input_identity=file_identity(files),
                 input_bytes=sum(os.path.getsize(f) for f in files),
                 rows_in=int(obs.get["rows_in"]),
                 rows_routed=rows_routed,

@@ -79,7 +79,21 @@ def docs_pipeline_route_agg(spark, sf_dir):
     )
 
 
-_FLAGSHIP_DIR = os.environ.get("SNELLER_SPARK_FLAGSHIP_DIR", "/tmp/sneller_spark_flagship")
+def _default_flagship_dir() -> str:
+    """Per-user fixture dir (ADVICE r2: a fixed world-shared /tmp path
+    breaks on multi-user machines — second importer hits
+    PermissionError or consumes another user's files)."""
+    import getpass
+    import tempfile
+
+    try:
+        user = getpass.getuser()
+    except OSError:
+        user = str(os.getuid()) if hasattr(os, "getuid") else "nouser"
+    return os.path.join(tempfile.gettempdir(), f"sneller_spark_flagship_{user}")
+
+
+_FLAGSHIP_DIR = os.environ.get("SNELLER_SPARK_FLAGSHIP_DIR", _default_flagship_dir())
 _FLAGSHIP_ROWS = 20_000
 
 
@@ -107,8 +121,10 @@ def _ensure_flagship_inputs() -> str:
     table, the vocabulary, and the lookup/rule tables — as parquet that
     BOTH engines read, so the driver can value-check the whole
     parse -> enrich -> route -> aggregate DAG (not just row counts).
-    Runs at module import (the oracle SQL references these paths and
-    the driver may execute it before the Spark entry)."""
+    Lazy: called from the flagship entry fns and from
+    __spark_entry__.oracle_sql() (the oracle SQL references these
+    paths and the driver may run it before any Spark entry) — NEVER at
+    module import, which must not touch the filesystem."""
     marker = os.path.join(_FLAGSHIP_DIR, "_READY")
     version = _fixture_version()
     current = None
@@ -142,12 +158,13 @@ def _ensure_flagship_inputs() -> str:
             tmp = os.path.join(_FLAGSHIP_DIR, f".{fname}.{pid}.tmp")
             pdf.to_parquet(tmp, index=False)
             os.replace(tmp, os.path.join(_FLAGSHIP_DIR, fname))
-        with open(marker, "w") as f:
+        # marker published atomically too: a reader that sees the
+        # marker must be guaranteed to see the (already-renamed) data
+        marker_tmp = f"{marker}.{pid}.tmp"
+        with open(marker_tmp, "w") as f:
             f.write(version)
+        os.replace(marker_tmp, marker)
     return _FLAGSHIP_DIR
-
-
-_ensure_flagship_inputs()
 
 
 _FLAGSHIP_AGG_ORACLE = f"""WITH tok AS (
@@ -248,9 +265,11 @@ def minhash_signatures_sample(spark, sf_dir):
 
 @register("minhash_lsh_candidates", None)
 def minhash_lsh_candidates(spark, sf_dir):
+    """Scale path: opts into the degenerate-bucket star-pair cap
+    explicitly (library default is uncapped/exact)."""
     d = load(spark, sf_dir, "documents")
     sigs = minhash_signatures(d, "doc_id", "text", n_hashes=16, shingle_k=5)
-    return minhash_candidate_pairs(sigs, n_hashes=16, bands=4)
+    return minhash_candidate_pairs(sigs, n_hashes=16, bands=4, max_bucket_size=64)
 
 
 @register(
@@ -316,7 +335,12 @@ def ngram_jaccard_pairs(spark, sf_dir):
     """Exact n-gram Jaccard near-dup pairs via inverted-index join
     (never a cross join)."""
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
-    return jaccard_similarity_pairs(d, "doc_id", "text", shingle_k=3, min_sim=0.015)
+    # the stop-shingle cap is live on the scale path; at this slice no
+    # shingle approaches it, so the result is bit-identical to the
+    # exact full-universe oracle above
+    return jaccard_similarity_pairs(
+        d, "doc_id", "text", shingle_k=3, min_sim=0.015, max_doc_freq=1000
+    )
 
 
 # =====================================================================
@@ -395,8 +419,10 @@ def embedding_cosine_near_dup_blocked(spark, sf_dir):
     dup = e.filter(F.col("vec_id") < 20).withColumn(
         "vec_id", F.col("vec_id") + F.lit(1000000)
     )
+    # degenerate-bucket cap live on the scale path; no bucket at this
+    # sf approaches 256, so the exact oracle above still holds
     return cosine_near_dup_pairs_blocked(
-        e.unionByName(dup), threshold=0.99, n_planes=8
+        e.unionByName(dup), threshold=0.99, n_planes=8, max_bucket_size=256
     )
 
 
@@ -579,7 +605,10 @@ def _index_path(sf_dir: str, kind: str) -> str:
     except OSError:
         tok = "missing"
     h = hashlib.sha256(f"{sf_dir}|{tok}".encode()).hexdigest()[:10]
-    root = os.environ.get("SNELLER_SPARK_INDEX_DIR", "/tmp/sneller_spark_indexes")
+    root = os.environ.get(
+        "SNELLER_SPARK_INDEX_DIR",
+        _default_flagship_dir().replace("_flagship_", "_indexes_"),
+    )
     return os.path.join(root, f"{kind}_{h}")
 
 

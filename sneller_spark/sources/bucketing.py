@@ -34,6 +34,19 @@ def write_bucketed(
     w.saveAsTable(table)
 
 
+def bucketed_agg(
+    spark: SparkSession, table: str, group_cols: list[str], *aggs
+) -> DataFrame:
+    """Partition-wise aggregation: GROUP BY on the table's bucket
+    column(s) runs both partial and final HashAggregate inside the
+    scan's bucket distribution — NO Exchange anywhere in the plan
+    (verify with plans.assert_no_exchange).  The Spark analog of the
+    reference splitting a grouped query into per-partition sub-plans
+    when the GROUP BY contains the partition keys
+    (/root/reference/plan/pir/partition.go:23-77)."""
+    return spark.table(table).groupBy(*group_cols).agg(*aggs)
+
+
 def bucketed_join(
     spark: SparkSession, left_table: str, right_table: str, on: list[str], how: str = "inner"
 ) -> DataFrame:

@@ -85,6 +85,90 @@ def test_jaccard_pairs_exact_math(spark, docs_df):
     assert (0, 3) in got.index and (0, 1) in got.index
 
 
+def test_jaccard_hot_shingle_cap(spark):
+    """One boilerplate shingle shared by 1,000 docs: uncapped, the
+    inverted-index join is ~500k rows; with the DF cap the hot shingle
+    is dropped before the join and only genuinely-similar pairs (via
+    sub-threshold shingles) survive."""
+    import time
+
+    n = 1000
+    rows = [
+        (i, f"common boiler plate u{i}a u{i}b u{i}c u{i}d") for i in range(n)
+    ]
+    # plant one near-dup pair sharing plenty of sub-threshold shingles
+    rows.append((5000, "alpha beta gamma delta epsilon zeta eta theta"))
+    rows.append((5001, "alpha beta gamma delta epsilon zeta eta iota"))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    t0 = time.monotonic()
+    got = jaccard_similarity_pairs(
+        df, "doc_id", "text", shingle_k=3, min_sim=0.1, max_doc_freq=100
+    ).toPandas()
+    elapsed = time.monotonic() - t0
+    pairset = set(map(tuple, got[["id_a", "id_b"]].values.tolist()))
+    assert (5000, 5001) in pairset
+    # no pair is discoverable through the dropped hot shingle alone
+    assert all(a >= 5000 for a, _ in pairset)
+    assert elapsed < 60
+    # exact math preserved for sub-threshold shingles: 6 each, 5 shared
+    row = got.set_index(["id_a", "id_b"]).loc[(5000, 5001)]
+    assert abs(row["jaccard"] - 5 / 7) < 1e-6
+
+
+def test_jaccard_cap_noop_below_threshold(spark, docs_df):
+    """When no shingle reaches the cap, capped == exact uncapped."""
+    capped = jaccard_similarity_pairs(
+        docs_df, "doc_id", "text", shingle_k=3, min_sim=0.1, max_doc_freq=100
+    )
+    exact = jaccard_similarity_pairs(docs_df, "doc_id", "text", shingle_k=3, min_sim=0.1)
+    a = sorted(map(tuple, capped.toPandas().values.tolist()))
+    b = sorted(map(tuple, exact.toPandas().values.tolist()))
+    assert a == b
+
+
+def test_cosine_blocked_degenerate_bucket_cap(spark):
+    """1,000 identical embeddings all land in one SRP bucket: without
+    the cap the self-join is ~500k pairs; with it, exactly n-1 star
+    pairs to the min-id representative, all passing the exact cosine
+    re-check."""
+    import time
+
+    from sneller_spark.operators.similarity import cosine_near_dup_pairs_blocked
+
+    n = 1000
+    vec = [float(v) for v in np.arange(16) / 16.0 + 0.1]
+    df = spark.createDataFrame([(i, vec) for i in range(n)], ["vec_id", "embedding"])
+    t0 = time.monotonic()
+    got = cosine_near_dup_pairs_blocked(
+        df, threshold=0.999, n_planes=6, max_bucket_size=64
+    ).toPandas()
+    elapsed = time.monotonic() - t0
+    assert len(got) == n - 1
+    assert set(got["id_a"]) == {0}
+    assert set(got["id_b"]) == set(range(1, n))
+    assert (got["cos_sim"] >= 0.999).all()
+    assert elapsed < 60
+
+
+def test_cosine_blocked_cap_keeps_small_buckets_exact(spark):
+    """Buckets under the cap: capped == uncapped, bit-identical."""
+    from sneller_spark.operators.similarity import cosine_near_dup_pairs_blocked
+
+    rng = np.random.Generator(np.random.PCG64(11))
+    base = rng.standard_normal((40, 16))
+    rows = [(i, [float(v) for v in base[i]]) for i in range(40)]
+    for i in range(5):
+        rows.append((100 + i, [float(v) for v in base[i] + 1e-4 * rng.standard_normal(16)]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    capped = cosine_near_dup_pairs_blocked(
+        df, threshold=0.999, n_planes=6, max_bucket_size=1000
+    ).toPandas()
+    uncapped = cosine_near_dup_pairs_blocked(df, threshold=0.999, n_planes=6).toPandas()
+    assert sorted(map(tuple, capped.values.tolist())) == sorted(
+        map(tuple, uncapped.values.tolist())
+    )
+
+
 def test_brute_force_cosine_matches_numpy(spark):
     rng = np.random.Generator(np.random.PCG64(7))
     vecs = rng.standard_normal((200, 16)).astype(np.float32)

@@ -167,6 +167,65 @@ def test_committed_id_with_changed_inputs_reprocessed(spark, tmp_path):
     assert not log.is_committed(uid, inputs=[str(d / "y.parquet")])
 
 
+def test_rewritten_input_not_treated_as_committed(spark, tmp_path):
+    """An input rewritten IN PLACE (same name, new content) must be
+    reprocessed: is_committed checks (basename, size, mtime_ns)
+    identity, not just the name (ADVICE r2; reference FileTree
+    ETag/mtime check, db/sync.go:366-430)."""
+    d = tmp_path / "rewrite_input"
+    d.mkdir()
+    generate_chunk(0, 1000).to_parquet(d / "x.parquet", index=False)
+    out = str(tmp_path / "rewrite_out")
+    s1 = run_pipeline(spark, str(d), out)
+    assert s1["rows_in"] == 1000
+
+    # rewrite in place with different content (and row count)
+    generate_chunk(5000, 6500).to_parquet(d / "x.parquet", index=False)
+    s2 = run_pipeline(spark, str(d), out)
+    assert s2["units_processed_this_run"] == 1   # NOT silently skipped
+    assert s2["rows_in"] == 1500                 # manifest reflects new content
+
+    got = _norm(read_aggregates(spark, out).toPandas())
+    _, exp = run_oracle(generate_chunk(5000, 6500))
+    pd.testing.assert_frame_equal(got, _norm(exp))
+
+
+def test_stale_layout_refused(spark, tmp_path):
+    """An out_dir holding unit state written under an older unit-id
+    scheme (no / mismatched _LAYOUT stamp) must be refused, not
+    silently double-counted (ADVICE r2)."""
+    d = tmp_path / "layout_input"
+    d.mkdir()
+    generate_chunk(0, 500).to_parquet(d / "x.parquet", index=False)
+    out = tmp_path / "layout_out"
+    run_pipeline(spark, str(d), str(out))
+
+    os.remove(out / "_LAYOUT")  # simulate a pre-versioning output dir
+    with pytest.raises(ValueError, match="layout"):
+        run_pipeline(spark, str(d), str(out))
+
+    (out / "_LAYOUT").write_text("unit-ids-v1-positional")
+    with pytest.raises(ValueError, match="double-count"):
+        run_pipeline(spark, str(d), str(out))
+
+
+def test_symlinked_input_path_same_unit_id(spark, tmp_path):
+    """The same physical input addressed via a symlink must not fork a
+    second unit id (realpath normalization): resume skips it."""
+    d = tmp_path / "real_input"
+    d.mkdir()
+    generate_chunk(0, 700).to_parquet(d / "x.parquet", index=False)
+    link = tmp_path / "linked_input"
+    os.symlink(d, link)
+    assert unit_id_for(str(d / "x.parquet")) == unit_id_for(str(link / "x.parquet"))
+
+    out = str(tmp_path / "link_out")
+    run_pipeline(spark, str(d), out)
+    s2 = run_pipeline(spark, str(link), out)
+    assert s2["units_processed_this_run"] == 0
+    assert s2["units"] == 1 and s2["rows_in"] == 700
+
+
 def test_same_basename_different_dirs_not_confused(spark, tmp_path):
     """Two input dirs both containing x.parquet feeding ONE output:
     identity-keyed ids must differ (round-2 review: basename-only

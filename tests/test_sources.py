@@ -148,3 +148,41 @@ def test_read_records_json_cloudtrail_shape(spark, tmp_path):
     (tmp_path / "bad.json").write_text(json.dumps({"NotRecords": []}))
     with pytest.raises(ValueError):
         read_records_json(spark, str(tmp_path / "bad.json"))
+
+
+def test_bucketed_aggregation_has_no_shuffle(spark):
+    """GROUP BY on the bucket column must aggregate with zero Exchange
+    — the partition-wise aggregation the reference builds when the
+    GROUP BY contains partition keys
+    (/root/reference/plan/pir/partition.go:23-77).  Both the plan shape
+    and the values are checked."""
+    from pyspark.sql import functions as F
+
+    from sneller_spark.plans import assert_no_exchange
+    from sneller_spark.sources.bucketing import bucketed_agg, write_bucketed
+
+    try:
+        rows = spark.range(0, 10_000).select(
+            (F.col("id") % 50).cast("string").alias("source"),
+            (F.col("id") % 997).alias("n_tok"),
+        )
+        write_bucketed(rows, "b_agg_tokens", ["source"], n_buckets=8)
+        agg = bucketed_agg(
+            spark,
+            "b_agg_tokens",
+            ["source"],
+            F.sum("n_tok").alias("sum_tok"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        assert_no_exchange(agg)
+        got = agg.toPandas().set_index("source").sort_index()
+        exp = (
+            rows.groupBy("source")
+            .agg(F.sum("n_tok").alias("sum_tok"), F.count(F.lit(1)).alias("n"))
+            .toPandas()
+            .set_index("source")
+            .sort_index()
+        )
+        assert got.equals(exp)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_agg_tokens")
