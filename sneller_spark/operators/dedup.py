@@ -305,6 +305,97 @@ def simhash_fingerprint(
     return voted.select("id", fingerprint.cast("long").alias("simhash"))
 
 
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over candidate-pair edges: returns
+    (id, component) where component = min id reachable from `id`.
+    This is the step between near-dup CANDIDATE PAIRS and the cluster
+    representative a training pipeline actually keeps.
+
+    Algorithm: iterative min-label propagation (the Pregel/GraphX CC
+    kernel): each round every node adopts the minimum label in its
+    closed neighborhood; converged when no label changes.  Rounds =
+    graph diameter.  Dedup graphs are clique/star-shaped — the banded
+    candidate generators upstream emit stars for over-cap buckets
+    (minhash/simhash/SRP caps), so diameter is small by construction
+    and the loop runs 2-4 rounds; `max_iter` bounds pathological
+    chains.  Each round is one shuffle-join + one map-side-combined
+    min() aggregate; the round result is localCheckpoint'ed — a merely
+    CACHED iterative plan keeps every prior round in its lineage and
+    the plan tree doubles per round (each round references the
+    previous twice), OOMing the planner after ~12 rounds.
+    Checkpointing truncates lineage to O(1) per round; on a cluster
+    where executor loss matters, swap reliable checkpoint() + a
+    checkpoint dir for localCheckpoint.
+
+    The driver-side loop runs O(diameter) Spark ACTIONS (a count per
+    round) — iteration control only, never row data."""
+    from pyspark import StorageLevel
+
+    fwd = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    edges = (
+        fwd.unionByName(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["id"] == nbr_min["src"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_component", F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def dedup_near_keep_rows(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """End-to-end near-dedup: candidate pairs -> connected components
+    -> keep ONE representative row (min id) per component, all other
+    columns intact; rows in no pair survive untouched.  The operation
+    a training pipeline runs after MinHash/SimHash/Jaccard candidate
+    generation.  One broadcast-sized join against the (tiny) non-
+    representative id set when components fit the driver; expressed as
+    a left anti join so Spark picks broadcast vs shuffle itself."""
+    comp = connected_components(pairs, "id_a", "id_b")
+    losers = comp.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
 def jaccard_similarity_pairs(
     df: DataFrame,
     id_col: str,

@@ -343,6 +343,102 @@ def ngram_jaccard_pairs(spark, sf_dir):
     )
 
 
+# Shared edge definition for the connected-components entries: the
+# (exact, oracle-proven) jaccard pairs over the doc_id < 60 slice.
+_CC_EDGE_CTES = """w AS (
+         SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+         WHERE doc_id < 60
+       ), sh AS (
+         SELECT DISTINCT doc_id,
+                unnest(list_transform(
+                  generate_series(1, greatest(len(ws) - 2, 0)),
+                  i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
+         FROM w
+       ), sizes AS (
+         SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id
+       ), inter AS (
+         SELECT l.doc_id AS id_a, r.doc_id AS id_b, COUNT(*) AS n_common
+         FROM sh l JOIN sh r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+         GROUP BY 1, 2
+       ), pairs AS (
+         SELECT id_a, id_b FROM inter
+         JOIN sizes sa ON sa.doc_id = id_a
+         JOIN sizes sb ON sb.doc_id = id_b
+         WHERE CAST(n_common AS DOUBLE)
+               / (sa.n_shingles + sb.n_shingles - n_common) >= 0.015
+       ), edges AS (
+         SELECT id_a AS u, id_b AS v FROM pairs
+         UNION SELECT id_b, id_a FROM pairs
+       ), reach(u, v) AS (
+         SELECT u, v FROM edges
+         UNION
+         SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+       ), comp AS (
+         SELECT d.doc_id,
+                CAST(LEAST(d.doc_id, COALESCE(MIN(r.v), d.doc_id)) AS BIGINT)
+                  AS component
+         FROM (SELECT doc_id FROM documents WHERE doc_id < 60) d
+         LEFT JOIN reach r ON r.u = d.doc_id
+         GROUP BY d.doc_id
+       )"""
+
+
+def _cc_inputs(spark, sf_dir):
+    from .operators.dedup import jaccard_similarity_pairs as _jp
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    pairs = _jp(
+        d, "doc_id", "text", shingle_k=3, min_sim=0.015, max_doc_freq=1000
+    ).select("id_a", "id_b")
+    return d, pairs
+
+
+@register(
+    "dedup_connected_components",
+    f"WITH RECURSIVE {_CC_EDGE_CTES}\n       SELECT doc_id, component FROM comp",
+)
+def dedup_connected_components(spark, sf_dir):
+    """Connected components over near-dup candidate pairs — the step
+    between pair generation and cluster representatives.  Spark side
+    is iterative min-label propagation (operators/dedup.py
+    connected_components, O(diameter) rounds, one shuffle-join + one
+    map-side-combined min() per round); the oracle is the transitive
+    closure as a DuckDB recursive CTE, so the equivalence is
+    value-checked, not rows-only."""
+    from .operators.dedup import connected_components
+
+    d, pairs = _cc_inputs(spark, sf_dir)
+    comp = connected_components(pairs, "id_a", "id_b")
+    return (
+        d.select("doc_id")
+        .join(comp, d["doc_id"] == comp["id"], "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", F.col("doc_id")).alias("component"),
+        )
+    )
+
+
+@register(
+    "near_dedup_surviving_rows",
+    f"""WITH RECURSIVE {_CC_EDGE_CTES}
+       SELECT d.doc_id, d.lang, d.n_chars
+       FROM documents d JOIN comp c ON d.doc_id = c.doc_id
+       WHERE c.component = d.doc_id""",
+)
+def near_dedup_surviving_rows(spark, sf_dir):
+    """End-to-end near-dedup a training pipeline runs: candidate pairs
+    -> connected components -> keep the min-id representative row per
+    cluster (untouched rows survive).  Anti-join against the loser id
+    set; value-checked against the recursive-CTE oracle."""
+    from .operators.dedup import dedup_near_keep_rows
+
+    d, pairs = _cc_inputs(spark, sf_dir)
+    return dedup_near_keep_rows(d, pairs, "doc_id").select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
 # =====================================================================
 # similarity search over embeddings
 # =====================================================================

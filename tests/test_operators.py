@@ -368,3 +368,58 @@ def test_simhash_bucket_cap_star_pairs(spark):
     assert len(got) == n - 1
     assert set(got["id_a"]) == {0}
     assert (got["hamming"] == 0).all()
+
+
+def test_connected_components_chain_and_star(spark):
+    """A 6-node chain (diameter 5 — forces several propagation rounds)
+    plus a disjoint star plus an isolated pair."""
+    from sneller_spark.operators.dedup import connected_components
+
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6),     # chain -> comp 1
+             (10, 11), (10, 12), (10, 13),               # star  -> comp 10
+             (20, 21)]                                   # pair  -> comp 20
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = connected_components(df).toPandas().set_index("id")["component"]
+    assert all(got[i] == 1 for i in range(1, 7))
+    assert all(got[i] == 10 for i in (10, 11, 12, 13))
+    assert got[20] == 20 and got[21] == 20
+
+
+def test_connected_components_vs_union_find(spark):
+    """Random graph vs a plain python union-find."""
+    rng = np.random.Generator(np.random.PCG64(3))
+    n, m = 200, 150
+    edges = [(int(a), int(b)) for a, b in rng.integers(0, n, size=(m, 2)) if a != b]
+    from sneller_spark.operators.dedup import connected_components
+
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = connected_components(df).toPandas().set_index("id")["component"].to_dict()
+
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    for a, b in edges:
+        union(a, b)
+    # path-compress to final roots
+    expect = {x: find(x) for x in parent}
+    # min-id root invariant: find() with min-merge yields min of component
+    assert got == {k: expect[k] for k in got}
+
+
+def test_dedup_near_keep_rows_end_to_end(spark, docs_df):
+    """Pairs (0,1),(0,3) -> cluster {0,1,3} keeps doc 0; docs 2,4,5
+    survive untouched with all columns."""
+    from sneller_spark.operators.dedup import dedup_near_keep_rows
+
+    pairs = spark.createDataFrame([(0, 1), (0, 3)], ["id_a", "id_b"])
+    got = dedup_near_keep_rows(docs_df, pairs, "doc_id").toPandas()
+    assert sorted(got["doc_id"]) == [0, 2, 4, 5]
+    assert set(got.columns) == {"doc_id", "text"}
