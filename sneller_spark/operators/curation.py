@@ -1,0 +1,154 @@
+"""Training-data curation operators: deterministic splits, per-group
+caps, benchmark decontamination, and sequence packing.
+
+These are the operations a 100 TB training-data pipeline runs between
+dedup and the trainer.  All of them are pure JVM expressions (md5 /
+window / join — no Python anywhere), so they whole-stage-codegen and
+scale with partition count:
+
+  * hash_split: split membership must be a PURE FUNCTION of the row
+    key — never rand(): reruns, resumes and late-arriving shards must
+    route every doc to the same split on every run (the same
+    determinism contract as the reference's partition assignment,
+    /root/reference/plan/unionmap.go:208-341);
+  * cap_per_group: "at most k docs per language by quality" — one
+    window shuffle on the group key;
+  * decontaminate: drop training docs that share n-gram shingles with
+    an evaluation/benchmark set — a broadcast-able semi-join on
+    shingle values (the benchmark side is tiny by construction);
+  * pack_sequences: assign token sequences to fixed-budget training
+    bins by prefix sum within each source partition — the
+    embarrassingly-parallel approximation of greedy sequence packing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import ngram_shingles
+
+# md5 -> first 8 hex chars -> int: 2^32 uniform buckets, identical
+# arithmetic available in ANSI SQL/DuckDB ('0x'||hex)::BIGINT, so the
+# split is oracle-checkable (unlike xxhash64, which no other engine
+# reproduces)
+_SPLIT_BUCKETS = 10_000
+
+
+def split_bucket_col(key, salt: str = ""):
+    """Deterministic bucket in [0, 10000) from md5 of (key || salt)."""
+    h = F.md5(F.concat(key.cast("string"), F.lit(salt)))
+    return (F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % _SPLIT_BUCKETS).cast(
+        "int"
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    weights: dict[str, float],
+    salt: str = "",
+    split_col: str = "split",
+) -> DataFrame:
+    """Add a `split` column ('train'/'val'/'test'/...) assigned by
+    deterministic hash bucketing over `id_col`.  Weights must sum to
+    1.0 (±1e-9); boundaries are cumulative over insertion order."""
+    total = sum(weights.values())
+    assert abs(total - 1.0) < 1e-9, f"weights must sum to 1, got {total}"
+    bucket = split_bucket_col(F.col(id_col), salt)
+    expr = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name]
+        cond = bucket < int(round(acc * _SPLIT_BUCKETS))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
+    return df.withColumn(split_col, expr)
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    k: int,
+    descending: bool = True,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Keep at most k rows per group, best-first by `order_col`
+    (ties broken deterministically by `tiebreak_col`).  One window
+    shuffle on the group key — the per-class cap every curation
+    pipeline applies before training."""
+    order = [F.desc(order_col) if descending else F.asc(order_col)]
+    if tiebreak_col:
+        order.append(F.asc(tiebreak_col))
+    w = Window.partitionBy(*group_cols).orderBy(*order)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 5,
+    mode: str = "clean",
+) -> DataFrame:
+    """Benchmark decontamination: remove (mode='clean') or report
+    (mode='contaminated') training docs sharing at least one word
+    k-gram with ANY benchmark doc.
+
+    Scale shape: both sides shingle via array expressions; the join is
+    on the shingle VALUE, and the benchmark side is small by
+    construction (eval sets are thousands of docs, not billions), so
+    Spark broadcasts it — the training side is never shuffled.  An
+    anti/semi join keeps only train-side columns and stops probing a
+    row at its first match."""
+    t_sh = ngram_shingles(train, text_col, shingle_k).select(
+        F.col(id_col), F.explode("shingles").alias("shingle")
+    )
+    b_sh = (
+        ngram_shingles(benchmark, text_col, shingle_k)
+        .select(F.explode("shingles").alias("shingle"))
+        .distinct()
+    )
+    hit_ids = (
+        t_sh.join(F.broadcast(b_sh), "shingle", "left_semi").select(id_col).distinct()
+    )
+    if mode == "contaminated":
+        return train.join(hit_ids, id_col, "left_semi")
+    return train.join(hit_ids, id_col, "left_anti")
+
+
+def pack_sequences(
+    df: DataFrame,
+    len_col: str = "n_tok",
+    budget: int = 2048,
+    part_cols: list[str] | None = None,
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Assign each sequence to a training bin by EXCLUSIVE prefix sum
+    of its length within (part_cols, ordered by order_col):
+    bin = floor(prefix_sum / budget).
+
+    This is the parallel approximation of greedy sequence packing: a
+    bin may overshoot `budget` by at most (max sequence length - 1)
+    when a sequence straddles the boundary, and a single over-budget
+    sequence still gets a bin.  True first-fit packing is inherently
+    sequential per partition; this prefix-sum form is one window
+    shuffle, deterministic, and what throughput-oriented packers use.
+    Returns the input plus `pack_bin`."""
+    part_cols = part_cols or []
+    w = (
+        Window.partitionBy(*part_cols)
+        .orderBy(F.asc(order_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prefix_excl = F.sum(F.col(len_col)).over(w) - F.col(len_col)
+    return df.withColumn(
+        "pack_bin", F.floor(prefix_excl / F.lit(budget)).cast("int")
+    )

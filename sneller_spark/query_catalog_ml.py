@@ -905,3 +905,128 @@ def tokens_unnest_histogram(spark, sf_dir):
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+# =====================================================================
+# curation operators (deterministic split / per-group cap /
+# decontamination / sequence packing) — operators/curation.py
+# =====================================================================
+
+@register(
+    "curation_hash_split",
+    """SELECT split, COUNT(*) AS n FROM (
+         SELECT CASE WHEN b < 9000 THEN 'train'
+                     WHEN b < 9500 THEN 'val'
+                     ELSE 'test' END AS split
+         FROM (
+           SELECT ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                  % 10000 AS b
+           FROM documents
+         )
+       ) GROUP BY split""",
+)
+def curation_hash_split(spark, sf_dir):
+    """Deterministic train/val/test split: membership is a pure md5
+    function of doc_id (never rand() — resumes and late shards must
+    route identically on every run).  Value-checked: DuckDB reproduces
+    the exact same md5 bucket arithmetic."""
+    from .operators.curation import hash_split
+
+    d = load(spark, sf_dir, "documents")
+    split = hash_split(d, "doc_id", {"train": 0.90, "val": 0.05, "test": 0.05})
+    return split.groupBy("split").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "curation_cap_per_group",
+    """SELECT doc_id, lang, n_chars FROM (
+         SELECT doc_id, lang, n_chars,
+                ROW_NUMBER() OVER (PARTITION BY lang
+                                   ORDER BY n_chars DESC, doc_id ASC) AS rn
+         FROM documents
+       ) WHERE rn <= 5""",
+)
+def curation_cap_per_group(spark, sf_dir):
+    """Per-class cap: keep the 5 largest docs per language
+    (deterministic tiebreak) — one window shuffle on the group key."""
+    from .operators.curation import cap_per_group
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return cap_per_group(
+        d, ["lang"], "n_chars", k=5, descending=True, tiebreak_col="doc_id"
+    )
+
+
+@register(
+    "curation_decontaminate",
+    """WITH tw AS (
+         SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents
+         WHERE doc_id < 300
+       ), tsh AS (
+         SELECT DISTINCT doc_id,
+                unnest(list_transform(
+                  generate_series(1, greatest(len(ws) - 4, 0)),
+                  i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' '
+                       || ws[i+3] || ' ' || ws[i+4])) AS shingle
+         FROM tw
+       ), bw AS (
+         SELECT string_split(text, ' ') AS ws FROM documents
+         WHERE doc_id >= 400
+       ), bsh AS (
+         SELECT DISTINCT
+                unnest(list_transform(
+                  generate_series(1, greatest(len(ws) - 4, 0)),
+                  i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' '
+                       || ws[i+3] || ' ' || ws[i+4])) AS shingle
+         FROM bw
+       )
+       SELECT t.doc_id, t.lang FROM tw t
+       WHERE EXISTS (SELECT 1 FROM tsh s JOIN bsh b USING (shingle)
+                     WHERE s.doc_id = t.doc_id)""",
+)
+def curation_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: training docs (doc_id < 300) sharing
+    at least one word 5-gram with the benchmark slice (doc_id >= 400) —
+    8 genuinely contaminated docs at sf0.01, so the value check is
+    non-trivial.
+    The benchmark shingle set is broadcast; the training side joins
+    semi/anti without a shuffle of its rows."""
+    from .operators.curation import decontaminate
+
+    docs = load(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") < 300)
+    bench = docs.filter(F.col("doc_id") >= 400)
+    return decontaminate(
+        train, bench, "doc_id", "text", shingle_k=5, mode="contaminated"
+    ).select("doc_id", "lang")
+
+
+@register(
+    "sequence_packing_bins",
+    f"""WITH b AS (
+         SELECT source, doc_id, n_tok,
+                CAST(floor((SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) - n_tok) / 2048.0) AS INT)
+                  AS pack_bin
+         FROM read_parquet('{_FLAGSHIP_DIR}/input.parquet')
+       )
+       SELECT source, pack_bin, COUNT(*) AS n_seqs,
+              CAST(SUM(n_tok) AS BIGINT) AS bin_tok
+       FROM b GROUP BY source, pack_bin""",
+)
+def sequence_packing_bins(spark, sf_dir):
+    """Sequence packing for training batches: exclusive-prefix-sum bin
+    assignment (budget 2048 tokens) per source over the tokenized
+    flagship table, then per-bin stats.  One window shuffle on source;
+    value-checked against DuckDB's identical window arithmetic."""
+    from .operators.curation import pack_sequences
+
+    d = _ensure_flagship_inputs()
+    df = spark.read.parquet(os.path.join(d, "input.parquet")).select(
+        "doc_id", "source", "n_tok"
+    )
+    packed = pack_sequences(df, "n_tok", budget=2048, part_cols=["source"])
+    return packed.groupBy("source", "pack_bin").agg(
+        F.count(F.lit(1)).alias("n_seqs"),
+        F.sum("n_tok").cast("bigint").alias("bin_tok"),
+    )

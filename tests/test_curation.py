@@ -1,0 +1,112 @@
+"""Curation operators (operators/curation.py) vs python references."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from sneller_spark.operators.curation import (
+    cap_per_group,
+    decontaminate,
+    hash_split,
+    pack_sequences,
+)
+
+
+@pytest.fixture(scope="module")
+def ids_df(spark):
+    return spark.range(0, 2000).select(F.col("id").alias("doc_id"))
+
+
+def _py_bucket(key: str, salt: str = "") -> int:
+    return int(hashlib.md5((key + salt).encode()).hexdigest()[:8], 16) % 10_000
+
+
+def test_hash_split_deterministic_and_matches_python(spark, ids_df):
+    got = (
+        hash_split(ids_df, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05})
+        .toPandas()
+        .set_index("doc_id")["split"]
+    )
+    for i in (0, 1, 7, 99, 1234, 1999):
+        b = _py_bucket(str(i))
+        exp = "train" if b < 9000 else ("val" if b < 9500 else "test")
+        assert got[i] == exp, (i, b)
+    # proportions roughly honored
+    frac = got.value_counts(normalize=True)
+    assert abs(frac["train"] - 0.9) < 0.03
+    # rerun identical (pure function of the key, not rand())
+    again = (
+        hash_split(ids_df, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05})
+        .toPandas()
+        .set_index("doc_id")["split"]
+    )
+    assert (got == again).all()
+
+
+def test_hash_split_salt_changes_assignment(spark, ids_df):
+    a = hash_split(ids_df, "doc_id", {"a": 0.5, "b": 0.5}).toPandas()
+    b = hash_split(ids_df, "doc_id", {"a": 0.5, "b": 0.5}, salt="v2").toPandas()
+    assert (a["split"] != b["split"]).any()
+
+
+def test_cap_per_group(spark):
+    rows = [(i, f"g{i % 3}", float(i)) for i in range(30)]
+    df = spark.createDataFrame(rows, ["doc_id", "grp", "score"])
+    got = cap_per_group(df, ["grp"], "score", k=4, tiebreak_col="doc_id").toPandas()
+    assert len(got) == 12
+    for g, sub in got.groupby("grp"):
+        assert len(sub) == 4
+        # best-first: the 4 highest scores of that group
+        all_scores = sorted((s for i, gg, s in rows if gg == g), reverse=True)[:4]
+        assert sorted(sub["score"], reverse=True) == all_scores
+
+
+def test_decontaminate_planted_overlap(spark):
+    bench = spark.createDataFrame(
+        [(0, "the secret benchmark question about ancient rome empire")],
+        ["doc_id", "text"],
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "intro text then the secret benchmark question about ancient rome empire copied"),
+            (2, "totally unrelated document about gardening and soil health today"),
+            (3, "another clean doc with its own fresh unique content entirely"),
+        ],
+        ["doc_id", "text"],
+    )
+    clean = decontaminate(train, bench, shingle_k=5, mode="clean").toPandas()
+    dirty = decontaminate(train, bench, shingle_k=5, mode="contaminated").toPandas()
+    assert sorted(clean["doc_id"]) == [2, 3]
+    assert sorted(dirty["doc_id"]) == [1]
+    # all original columns survive
+    assert set(clean.columns) == {"doc_id", "text"}
+
+
+def test_pack_sequences_prefix_sum_bins(spark):
+    rows = [(i, "s0", 600) for i in range(10)]  # 600*10 = 6000 tokens
+    df = spark.createDataFrame(rows, ["doc_id", "source", "n_tok"])
+    got = (
+        pack_sequences(df, "n_tok", budget=2048, part_cols=["source"])
+        .toPandas()
+        .set_index("doc_id")["pack_bin"]
+    )
+    # exclusive prefix sums: 0,600,...,5400 -> floor(/2048) = 0,0,0,0(1800),
+    # 1(2400)... verify against python
+    acc = 0
+    for i in range(10):
+        assert got[i] == acc // 2048, (i, acc, got[i])
+        acc += 600
+    # bins fill the budget before opening a new one
+    assert got.max() == (9 * 600) // 2048
+
+
+def test_pack_sequences_partition_isolation(spark):
+    rows = [(i, f"s{i % 2}", 1000) for i in range(8)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "n_tok"])
+    got = pack_sequences(df, "n_tok", budget=2048, part_cols=["source"]).toPandas()
+    # each source packs independently from bin 0
+    for _, sub in got.groupby("source"):
+        assert sub["pack_bin"].min() == 0
