@@ -40,7 +40,6 @@ from sneller_spark.session import ship_package  # noqa: E402
 _PRIORITY = [
     # scans / projections / predicates
     "scan_project_filter", "case_when_projection", "cast_try_cast",
-    "in_list_member",
     # aggregations
     "agg_q1_pricing_summary", "agg_minmax_earliest_latest",
     "agg_filter_clause", "bit_bool_aggs", "count_distinct_exact",
@@ -57,15 +56,16 @@ _PRIORITY = [
     "explode_words_topk", "unpivot_part_metrics", "pivot_status_by_flag",
     # scalar builtin families
     "string_functions", "like_contains_ci", "regexp_similar_to",
-    "contains_fuzzy_parts", "date_trunc_day_agg", "time_bucket_epoch",
+    "contains_fuzzy_parts", "date_trunc_day_agg",
     "math_functions", "histogram_width_bucket", "hash_lookup_inline",
     "geo_tile_functions", "ip_subnet_filter", "datashape_profile",
     # flagship DAG + routed-row equality (the north-rule checks)
     "tokens_pipeline_flagship", "routed_rows_equality",
-    # dedup / similarity / text (LLM-data-pipeline families)
+    # dedup / similarity / text / curation (LLM-data-pipeline families)
     "dedup_exact_counts", "dedup_keep_first_rows", "ngram_jaccard_pairs",
     "ann_cosine_topk_brute", "embedding_cosine_near_dup_blocked",
-    "language_id_heuristic",
+    "language_id_heuristic", "near_dedup_surviving_rows",
+    "curation_hash_split",
 ]
 assert len(_PRIORITY) == 50
 

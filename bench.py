@@ -67,7 +67,10 @@ def ensure_input(spark, n_rows: int) -> str:
     return path
 
 
-def bench_pipeline(spark, n_rows: int) -> dict:
+def bench_pipeline(spark, n_rows: int, rounds: int = 3) -> dict:
+    """rounds=1 when an OUTER harness already interleaves repeats
+    (tools/bench_scaling.py): nested best-of would triple each
+    level's wall-clock for no extra signal."""
     from sneller_spark.pipeline.aggregate import aggregate_per_sink_salted
     from sneller_spark.pipeline.route import write_routed
     from sneller_spark.pipeline.runner import transform
@@ -84,7 +87,7 @@ def bench_pipeline(spark, n_rows: int) -> dict:
     # (round-2 lesson — same discipline as bench_queries below).
     agg_cols = ["doc_id", "source", "n_tok"]
     agg_sec = float("inf")
-    for _ in range(3):
+    for _ in range(rounds):
         t0 = time.monotonic()
         agg = aggregate_per_sink_salted(transform(spark, df, passthrough=agg_cols))
         total = agg.groupBy().sum("n_rows").collect()[0][0]
@@ -98,7 +101,7 @@ def bench_pipeline(spark, n_rows: int) -> dict:
 
     scan_sec = float("inf")
     total_tokens = 0
-    for _ in range(3):
+    for _ in range(rounds):
         t0 = time.monotonic()
         total_tokens = (
             spark.read.parquet(path)
@@ -115,7 +118,7 @@ def bench_pipeline(spark, n_rows: int) -> dict:
 
     out_tmp = os.path.join(BENCH_DATA, "_routed_bench_out")
     write_sec = float("inf")
-    for _ in range(2):  # write pass is the expensive one: best-of-2
+    for _ in range(min(rounds, 2)):  # write pass is the expensive one: best-of-2
         shutil.rmtree(out_tmp, ignore_errors=True)
         t0 = time.monotonic()
         write_routed(transform(spark, df), out_tmp)
@@ -167,7 +170,7 @@ def main() -> None:
         shuffle_partitions=CPUS,
     )
     t_all = time.monotonic()
-    derived = bench_pipeline(spark, rows)
+    derived = bench_pipeline(spark, rows, rounds=1 if pipeline_only else 3)
     queries = {} if pipeline_only else bench_queries(spark, SF_DIR)
     total_sec = round(time.monotonic() - t_all, 3)
 
