@@ -1,0 +1,345 @@
+"""Elasticsearch query-DSL adapter: translate a subset of the Elastic
+search body into DataFrame plans.
+
+The reference ships `elasticproxy`, which rewrites Elastic DSL JSON to
+its SQL — filters become WHERE, metric aggs map to SQL aggregates,
+bucket aggs to GROUP BY (/root/reference/elasticproxy/elastic-proxy/:
+aggs_avg.go, aggs_sum.go, aggs_cardinality.go, aggs_terms.go,
+aggs_date_histogram.go, aggs_histogram.go, aggs_filters.go; pipeline
+aggs unsupported per its README).  This module is the same posture on
+Spark: the DSL is *translated at plan time* (driver-side JSON walking,
+zero per-row Python) into Catalyst expressions, so the resulting plan
+is indistinguishable from hand-written DataFrame code — filters push
+down, aggregates are two-phase, `filters` buckets become FILTER-clause
+aggregates evaluated in ONE pass.
+
+Supported (mirroring elasticproxy's documented surface):
+  query:  match_all, term, terms, range (gt/gte/lt/lte), exists,
+          prefix, wildcard, match (substring, case-insensitive — no
+          scoring/analysis, like the proxy), bool (must/filter/
+          should/must_not)
+  aggs:   metric — avg, sum, min, max, value_count, cardinality
+          (exact by default so results are oracle-checkable;
+          approximate HLL when `precision_threshold` is given, like
+          Elastic), stats, percentiles (exact);
+          bucket — terms (size, deterministic doc-count-desc/key-asc
+          order), histogram (interval), date_histogram
+          (calendar_interval hour/day/month/year), filters (named
+          predicates -> FILTER-clause aggregates, single pass)
+  top level: query + aggs, or query + sort/size/_source (hits)
+
+Unsupported, like the reference proxy: pipeline aggs, scoring,
+full-text analysis chains, nested sub-buckets beyond metric sub-aggs.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+class ElasticDslError(ValueError):
+    pass
+
+
+# ---------------------------------------------------------------------
+# date math (reference: elasticproxy/elastic-proxy/date_math.go)
+# ---------------------------------------------------------------------
+
+_UNIT_SECONDS = {"s": 1, "m": 60, "h": 3600, "H": 3600, "d": 86400, "w": 604800}
+
+
+def parse_date_math(expr: str, now=None):
+    """Parse an Elastic date-math string — `now-7d/d`,
+    `2024-01-05||+1M/d`, `now+12h` — into a datetime.
+
+    Grammar (date_math.go): anchor (`now` or `<iso8601>||`), then any
+    number of `+Nu`/`-Nu` offsets (u in s m h H d w M y), then an
+    optional `/u` truncation.  Calendar units (M, y) shift by calendar
+    months/years like the reference, not fixed seconds.  `now` is
+    injectable so query plans are deterministic and testable."""
+    import datetime as _dt
+
+    if expr.startswith("now"):
+        anchor = now or _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
+        rest = expr[len("now"):]
+    elif "||" in expr:
+        raw, rest = expr.split("||", 1)
+        try:
+            anchor = _dt.datetime.fromisoformat(raw)
+        except ValueError as e:
+            raise ElasticDslError(f"bad date-math anchor {raw!r}") from e
+    else:
+        raise ElasticDslError(f"not a date-math expression: {expr!r}")
+
+    import re as _re
+
+    trunc = None
+    m = _re.fullmatch(r"((?:[+-]\d+[smhHdwMy])*)(?:/([smhHdwMy]))?", rest)
+    if m is None:
+        raise ElasticDslError(f"bad date-math ops {rest!r}")
+    ops, trunc = m.group(1), m.group(2)
+    for sign, num, unit in _re.findall(r"([+-])(\d+)([smhHdwMy])", ops):
+        n = int(num) * (1 if sign == "+" else -1)
+        if unit == "M":
+            month0 = anchor.month - 1 + n
+            year, month0 = anchor.year + month0 // 12, month0 % 12
+            import calendar as _cal
+
+            day = min(anchor.day, _cal.monthrange(year, month0 + 1)[1])
+            anchor = anchor.replace(year=year, month=month0 + 1, day=day)
+        elif unit == "y":
+            try:
+                anchor = anchor.replace(year=anchor.year + n)
+            except ValueError:  # Feb 29 -> Feb 28
+                anchor = anchor.replace(year=anchor.year + n, day=28)
+        else:
+            anchor = anchor + _dt.timedelta(seconds=n * _UNIT_SECONDS[unit])
+    if trunc:
+        if trunc == "y":
+            anchor = anchor.replace(month=1, day=1, hour=0, minute=0, second=0, microsecond=0)
+        elif trunc == "M":
+            anchor = anchor.replace(day=1, hour=0, minute=0, second=0, microsecond=0)
+        elif trunc == "w":
+            anchor = anchor - _dt.timedelta(days=anchor.weekday())
+            anchor = anchor.replace(hour=0, minute=0, second=0, microsecond=0)
+        elif trunc == "d":
+            anchor = anchor.replace(hour=0, minute=0, second=0, microsecond=0)
+        elif trunc in ("h", "H"):
+            anchor = anchor.replace(minute=0, second=0, microsecond=0)
+        elif trunc == "m":
+            anchor = anchor.replace(second=0, microsecond=0)
+        elif trunc == "s":
+            anchor = anchor.replace(microsecond=0)
+    return anchor
+
+
+def _maybe_date_math(val, now):
+    if isinstance(val, str) and (val.startswith("now") or "||" in val):
+        return parse_date_math(val, now)
+    return val
+
+
+# ---------------------------------------------------------------------
+# query -> Column predicate
+# ---------------------------------------------------------------------
+
+def _range_pred(field: str, spec: dict[str, Any], now=None) -> Column:
+    c = F.col(field)
+    pred = F.lit(True)
+    ops = {"gt": c.__gt__, "gte": c.__ge__, "lt": c.__lt__, "lte": c.__le__}
+    seen = False
+    for op, val in spec.items():
+        if op in ("format", "time_zone", "boost"):
+            continue
+        if op not in ops:
+            raise ElasticDslError(f"range op {op!r} on {field!r}")
+        pred = pred & ops[op](F.lit(_maybe_date_math(val, now)))
+        seen = True
+    if not seen:
+        raise ElasticDslError(f"empty range on {field!r}")
+    return pred
+
+
+def _wildcard_pred(field: str, pattern: str) -> Column:
+    # Elastic wildcard: * = any run, ? = one char -> SQL LIKE
+    esc = pattern.replace("\\", "\\\\").replace("%", r"\%").replace("_", r"\_")
+    return F.col(field).like(esc.replace("*", "%").replace("?", "_"))
+
+
+def query_to_column(q: dict[str, Any] | None, now=None) -> Column:
+    """Translate an Elastic `query` clause into a boolean Column.
+    `now` anchors date-math range bounds (injectable for determinism)."""
+    if q is None or q == {} or "match_all" in (q or {}):
+        return F.lit(True)
+    if len(q) != 1:
+        raise ElasticDslError(f"query object must have one key, got {list(q)}")
+    kind, body = next(iter(q.items()))
+
+    if kind == "term":
+        field, spec = next(iter(body.items()))
+        val = spec["value"] if isinstance(spec, dict) else spec
+        return F.col(field) == F.lit(val)
+    if kind == "terms":
+        field, vals = next(iter(body.items()))
+        return F.col(field).isin(list(vals))
+    if kind == "range":
+        field, spec = next(iter(body.items()))
+        return _range_pred(field, spec, now)
+    if kind == "exists":
+        return F.col(body["field"]).isNotNull()
+    if kind == "prefix":
+        field, spec = next(iter(body.items()))
+        val = spec["value"] if isinstance(spec, dict) else spec
+        return _wildcard_pred(field, f"{val}*")
+    if kind == "wildcard":
+        field, spec = next(iter(body.items()))
+        val = spec["value"] if isinstance(spec, dict) else spec
+        return _wildcard_pred(field, val)
+    if kind == "match":
+        # no scoring/analyzers (reference proxy limitation too):
+        # case-insensitive substring containment
+        field, spec = next(iter(body.items()))
+        val = spec["query"] if isinstance(spec, dict) else spec
+        return F.col(field).ilike(f"%{val}%")
+    if kind == "bool":
+        pred = F.lit(True)
+        for sub in body.get("must", []) + body.get("filter", []):
+            pred = pred & query_to_column(sub, now)
+        for sub in body.get("must_not", []):
+            pred = pred & ~query_to_column(sub, now)
+        should = [query_to_column(s, now) for s in body.get("should", [])]
+        if should:
+            required = (
+                "minimum_should_match" in body
+                or not (body.get("must") or body.get("filter"))
+            )
+            if required:
+                any_of = should[0]
+                for s in should[1:]:
+                    any_of = any_of | s
+                pred = pred & any_of
+        return pred
+    raise ElasticDslError(f"unsupported query kind {kind!r}")
+
+
+# ---------------------------------------------------------------------
+# aggs -> aggregate expressions / grouped DataFrame
+# ---------------------------------------------------------------------
+
+def _metric_exprs(
+    name: str, spec: dict[str, Any], pred: Column | None = None
+) -> list[Column]:
+    """Aggregate expressions for one metric agg.  With `pred`, the
+    metric is computed only over matching rows (the FILTER-clause
+    form: non-matching rows become NULL, which every aggregate here
+    ignores) — used by the `filters` bucket agg to evaluate all named
+    buckets in a single scan."""
+    if len(spec) != 1:
+        raise ElasticDslError(f"agg {name!r} must have one kind")
+    kind, body = next(iter(spec.items()))
+    field = body.get("field")
+    src = F.col(field) if field else None
+    if src is not None and pred is not None:
+        src = F.when(pred, src)
+    if kind == "avg":
+        return [F.avg(src).alias(name)]
+    if kind == "sum":
+        return [F.sum(src).alias(name)]
+    if kind == "min":
+        return [F.min(src).alias(name)]
+    if kind == "max":
+        return [F.max(src).alias(name)]
+    if kind == "value_count":
+        return [F.count(src).alias(name)]
+    if kind == "cardinality":
+        if "precision_threshold" in body:  # approximate, like Elastic HLL
+            return [F.approx_count_distinct(src).alias(name)]
+        return [F.count_distinct(src).alias(name)]
+    if kind == "stats":
+        return [
+            F.count(src).alias(f"{name}_count"),
+            F.min(src).alias(f"{name}_min"),
+            F.max(src).alias(f"{name}_max"),
+            F.avg(src).alias(f"{name}_avg"),
+            F.sum(src).alias(f"{name}_sum"),
+        ]
+    if kind == "percentiles":
+        if pred is not None:
+            raise ElasticDslError("percentiles inside filters buckets unsupported")
+        pcts = body.get("percents", [50.0])
+        return [
+            F.expr(f"percentile({field}, {p / 100.0})").alias(
+                f"{name}_p{str(p).replace('.', '_')}"
+            )
+            for p in pcts
+        ]
+    raise ElasticDslError(f"unsupported metric agg {kind!r}")
+
+
+def _sub_metric_exprs(
+    sub_aggs: dict[str, Any] | None,
+    pred: Column | None = None,
+    prefix: str = "",
+) -> list[Column]:
+    out: list[Column] = []
+    for sub_name, sub_spec in (sub_aggs or {}).items():
+        out.extend(_metric_exprs(prefix + sub_name, sub_spec, pred))
+    return out
+
+
+_CAL_INTERVALS = {
+    "hour": "hour", "1h": "hour",
+    "day": "day", "1d": "day",
+    "month": "month", "1M": "month",
+    "year": "year", "1y": "year",
+}
+
+
+def aggs_to_df(df: DataFrame, aggs: dict[str, Any]) -> DataFrame:
+    """Translate an `aggs` object.  Exactly one bucket agg (with
+    optional metric sub-aggs) or a flat set of metric aggs."""
+    bucket_items = [
+        (n, s) for n, s in aggs.items()
+        if set(s) & {"terms", "histogram", "date_histogram", "filters"}
+    ]
+    if not bucket_items:
+        return df.agg(*_sub_metric_exprs(aggs))
+    if len(bucket_items) > 1:
+        raise ElasticDslError("one bucket agg per level (like elasticproxy)")
+    name, spec = bucket_items[0]
+    sub = {k: v for k, v in spec.items() if k == "aggs"}.get("aggs")
+    kind = next(k for k in spec if k in ("terms", "histogram", "date_histogram", "filters"))
+    body = spec[kind]
+    metrics = _sub_metric_exprs(sub)
+
+    if kind == "terms":
+        size = int(body.get("size", 10))
+        out = df.groupBy(F.col(body["field"]).alias("key")).agg(
+            F.count(F.lit(1)).alias("doc_count"), *metrics
+        )
+        # Elastic order: doc_count desc, key asc (deterministic)
+        return out.orderBy(F.desc("doc_count"), F.asc("key")).limit(size)
+    if kind == "histogram":
+        interval = float(body["interval"])
+        key = (F.floor(F.col(body["field"]) / interval) * interval).alias("key")
+        return df.groupBy(key).agg(F.count(F.lit(1)).alias("doc_count"), *metrics)
+    if kind == "date_histogram":
+        iv = body.get("calendar_interval") or body.get("fixed_interval")
+        unit = _CAL_INTERVALS.get(iv)
+        if unit is None:
+            raise ElasticDslError(f"unsupported date_histogram interval {iv!r}")
+        key = F.date_trunc(unit, F.col(body["field"])).alias("key")
+        return df.groupBy(key).agg(F.count(F.lit(1)).alias("doc_count"), *metrics)
+    if kind == "filters":
+        # named predicate buckets -> conditional aggregates, ONE scan
+        exprs: list[Column] = []
+        for bname, bq in body["filters"].items():
+            pred = query_to_column(bq)
+            exprs.append(F.count(F.when(pred, 1)).alias(f"{bname}_doc_count"))
+            exprs.extend(_sub_metric_exprs(sub, pred, prefix=f"{bname}_"))
+        return df.agg(*exprs)
+    raise ElasticDslError(f"unsupported bucket agg {kind!r}")
+
+
+def elastic_search(df: DataFrame, body: dict[str, Any], now=None) -> DataFrame:
+    """Run an Elastic search body against a DataFrame: `query` filters,
+    then either `aggs` (returns buckets/metrics) or hits (`sort`,
+    `size`, `_source` projection)."""
+    out = df.filter(query_to_column(body.get("query"), now))
+    if "aggs" in body or "aggregations" in body:
+        return aggs_to_df(out, body.get("aggs") or body["aggregations"])
+    for s in body.get("sort", []):
+        if isinstance(s, str):
+            out = out.orderBy(F.asc(s))
+        else:
+            (field, spec), = s.items()
+            order = spec.get("order", "asc") if isinstance(spec, dict) else spec
+            out = out.orderBy(F.desc(field) if order == "desc" else F.asc(field))
+    if "_source" in body:
+        out = out.select(*body["_source"])
+    if "size" in body:
+        out = out.limit(int(body["size"]))
+    return out

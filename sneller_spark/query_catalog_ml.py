@@ -1030,3 +1030,122 @@ def sequence_packing_bins(spark, sf_dir):
         F.count(F.lit(1)).alias("n_seqs"),
         F.sum("n_tok").cast("bigint").alias("bin_tok"),
     )
+
+
+# =====================================================================
+# Elastic query-DSL adapter (reference elasticproxy analog) —
+# adapters/elastic.py translates the DSL at plan time into Catalyst
+# expressions; these entries value-check the translation end to end
+# =====================================================================
+
+@register(
+    "elastic_bool_query_hits",
+    """SELECT event_id, user_id, event_type, value FROM events
+       WHERE value >= 10.0 AND event_type IN ('click', 'view')
+         AND NOT (user_id = 7)
+       ORDER BY event_id ASC LIMIT 50""",
+)
+def elastic_bool_query_hits(spark, sf_dir):
+    """bool query (filter/range/terms/must_not) + sort/size/_source
+    hits — elasticproxy's filters->WHERE translation
+    (/root/reference/elasticproxy/elastic-proxy/)."""
+    from .adapters.elastic import elastic_search
+
+    body = {
+        "query": {"bool": {
+            "filter": [
+                {"range": {"value": {"gte": 10.0}}},
+                {"terms": {"event_type": ["click", "view"]}},
+            ],
+            "must_not": [{"term": {"user_id": 7}}],
+        }},
+        "sort": [{"event_id": {"order": "asc"}}],
+        "size": 50,
+        "_source": ["event_id", "user_id", "event_type", "value"],
+    }
+    return elastic_search(load(spark, sf_dir, "events"), body)
+
+
+@register(
+    "elastic_terms_agg",
+    """SELECT event_type AS key, COUNT(*) AS doc_count,
+              ROUND(AVG(value), 4) AS avg_value,
+              COUNT(DISTINCT user_id) AS users
+       FROM events GROUP BY 1
+       ORDER BY doc_count DESC, key ASC LIMIT 3""",
+)
+def elastic_terms_agg(spark, sf_dir):
+    """terms bucket agg + avg/cardinality sub-aggs (aggs_terms.go,
+    aggs_avg.go, aggs_cardinality.go), deterministic Elastic bucket
+    order (doc_count desc, key asc)."""
+    from .adapters.elastic import elastic_search
+
+    body = {"aggs": {"by_type": {
+        "terms": {"field": "event_type", "size": 3},
+        "aggs": {
+            "avg_value": {"avg": {"field": "value"}},
+            "users": {"cardinality": {"field": "user_id"}},
+        },
+    }}}
+    out = elastic_search(load(spark, sf_dir, "events"), body)
+    return out.select(
+        "key", "doc_count", F.round("avg_value", 4).alias("avg_value"), "users"
+    )
+
+
+@register(
+    "elastic_date_histogram_day",
+    """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+              COUNT(*) AS doc_count, ROUND(SUM(value), 4) AS sum_value
+       FROM events WHERE event_type = 'click' GROUP BY 1""",
+)
+def elastic_date_histogram_day(spark, sf_dir):
+    """query + date_histogram bucket agg + sum sub-agg
+    (aggs_date_histogram.go, date_math.go's calendar units)."""
+    from .adapters.elastic import elastic_search
+
+    body = {
+        "query": {"term": {"event_type": "click"}},
+        "aggs": {"per_day": {
+            "date_histogram": {"field": "ts", "calendar_interval": "day"},
+            "aggs": {"sum_value": {"sum": {"field": "value"}}},
+        }},
+    }
+    out = elastic_search(load(spark, sf_dir, "events"), body)
+    return out.select(
+        F.date_format("key", "yyyy-MM-dd").alias("day"),
+        "doc_count",
+        F.round("sum_value", 4).alias("sum_value"),
+    )
+
+
+@register(
+    "elastic_filters_one_pass",
+    """SELECT COUNT(CASE WHEN value >= 400 THEN 1 END) AS big_doc_count,
+              ROUND(SUM(CASE WHEN value >= 400 THEN value END), 4) AS big_v,
+              COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS clicks_doc_count,
+              ROUND(SUM(CASE WHEN event_type = 'click' THEN value END), 4) AS clicks_v,
+              COUNT(CASE WHEN event_type LIKE 's%' THEN 1 END) AS s_types_doc_count,
+              ROUND(SUM(CASE WHEN event_type LIKE 's%' THEN value END), 4) AS s_types_v
+       FROM events""",
+)
+def elastic_filters_one_pass(spark, sf_dir):
+    """filters bucket agg (aggs_filters.go): three named predicate
+    buckets + a sum sub-agg each, all evaluated as conditional
+    aggregates in ONE scan — never one pass per bucket."""
+    from .adapters.elastic import elastic_search
+
+    body = {"aggs": {"buckets": {
+        "filters": {"filters": {
+            "big": {"range": {"value": {"gte": 400}}},
+            "clicks": {"term": {"event_type": "click"}},
+            "s_types": {"prefix": {"event_type": "s"}},
+        }},
+        "aggs": {"v": {"sum": {"field": "value"}}},
+    }}}
+    out = elastic_search(load(spark, sf_dir, "events"), body)
+    return out.select(
+        "big_doc_count", F.round("big_v", 4).alias("big_v"),
+        "clicks_doc_count", F.round("clicks_v", 4).alias("clicks_v"),
+        "s_types_doc_count", F.round("s_types_v", 4).alias("s_types_v"),
+    )

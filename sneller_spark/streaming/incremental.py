@@ -198,3 +198,41 @@ def stream_pipeline_memory_sink(
         .queryName(query_name)
         .start()
     )
+
+
+def stream_dedup_within_watermark(
+    spark: SparkSession,
+    input_path: str,
+    schema: str,
+    id_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "30 minutes",
+    query_name: str = "stream_dedup",
+    max_files_per_trigger: int = 1,
+):
+    """Streaming exact dedup: emit the FIRST occurrence of each id and
+    drop re-deliveries arriving within the watermark delay
+    (`dropDuplicatesWithinWatermark`) — the streaming twin of the batch
+    `operators/dedup.exact_dedup`/`dedup_keep_first` family, and the
+    idiomatic way to make an at-least-once telemetry feed effectively
+    exactly-once.  State is bounded: an id's dedup record is evicted
+    once the event-time watermark passes its timestamp + delay, so
+    state size tracks the duplicate-arrival horizon, not the stream's
+    lifetime — the property that keeps this viable on an unbounded
+    10^12-row feed (a plain dropDuplicates() would accumulate state
+    forever)."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_path)
+    )
+    stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    deduped = stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        id_cols
+    )
+    return (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )

@@ -1,0 +1,172 @@
+"""Elastic query-DSL adapter (adapters/elastic.py) vs hand-written
+DataFrame plans — the elasticproxy analog
+(/root/reference/elasticproxy/elastic-proxy/)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sneller_spark.adapters.elastic import (
+    ElasticDslError,
+    aggs_to_df,
+    elastic_search,
+    query_to_column,
+)
+
+ROWS = [
+    # id, kind, score, tag
+    (1, "click", 10.0, "alpha"),
+    (2, "view", 55.5, "beta"),
+    (3, "click", 90.0, None),
+    (4, "signup", 7.25, "alphabet"),
+    (5, "error", 400.0, "gamma"),
+    (6, "click", 55.5, "beta"),
+]
+
+
+@pytest.fixture(scope="module")
+def ev(spark):
+    return spark.createDataFrame(ROWS, ["id", "kind", "score", "tag"])
+
+
+def _ids(df):
+    return sorted(r["id"] for r in df.collect())
+
+
+def test_term_terms_range_exists(ev):
+    assert _ids(ev.filter(query_to_column({"term": {"kind": "click"}}))) == [1, 3, 6]
+    assert _ids(ev.filter(query_to_column({"terms": {"kind": ["view", "error"]}}))) == [2, 5]
+    assert _ids(
+        ev.filter(query_to_column({"range": {"score": {"gte": 55.5, "lt": 400}}}))
+    ) == [2, 3, 6]
+    assert _ids(ev.filter(query_to_column({"exists": {"field": "tag"}}))) == [1, 2, 4, 5, 6]
+
+
+def test_prefix_wildcard_match(ev):
+    assert _ids(ev.filter(query_to_column({"prefix": {"tag": "alpha"}}))) == [1, 4]
+    assert _ids(ev.filter(query_to_column({"wildcard": {"tag": "*eta"}}))) == [2, 6]
+    assert _ids(ev.filter(query_to_column({"wildcard": {"tag": "bet?"}}))) == [2, 6]
+    assert _ids(ev.filter(query_to_column({"match": {"tag": "LPHA"}}))) == [1, 4]
+
+
+def test_bool_semantics(ev):
+    q = {"bool": {
+        "filter": [{"range": {"score": {"gte": 10}}}],
+        "must_not": [{"term": {"kind": "error"}}],
+        "should": [{"term": {"kind": "click"}}, {"term": {"kind": "view"}}],
+        "minimum_should_match": 1,
+    }}
+    assert _ids(ev.filter(query_to_column(q))) == [1, 2, 3, 6]
+    # should without must/filter is required (pure disjunction)
+    q2 = {"bool": {"should": [{"term": {"kind": "signup"}}, {"term": {"kind": "error"}}]}}
+    assert _ids(ev.filter(query_to_column(q2))) == [4, 5]
+    # should alongside must WITHOUT minimum_should_match is advisory
+    q3 = {"bool": {"must": [{"range": {"score": {"gt": 0}}}],
+                   "should": [{"term": {"kind": "error"}}]}}
+    assert _ids(ev.filter(query_to_column(q3))) == [1, 2, 3, 4, 5, 6]
+
+
+def test_match_all_and_errors(ev):
+    assert _ids(ev.filter(query_to_column(None))) == [1, 2, 3, 4, 5, 6]
+    assert _ids(ev.filter(query_to_column({"match_all": {}}))) == [1, 2, 3, 4, 5, 6]
+    with pytest.raises(ElasticDslError):
+        query_to_column({"fuzzy": {"tag": "x"}})
+    with pytest.raises(ElasticDslError):
+        aggs_to_df(None, {"a": {"terms": {"field": "k"}}, "b": {"histogram": {"field": "s", "interval": 1}}})
+
+
+def test_terms_agg_matches_handwritten(ev):
+    body = {"aggs": {"by_kind": {
+        "terms": {"field": "kind", "size": 2},
+        "aggs": {"avg_score": {"avg": {"field": "score"}}},
+    }}}
+    got = elastic_search(ev, body).toPandas()
+    exp = (
+        ev.groupBy(F.col("kind").alias("key"))
+        .agg(F.count(F.lit(1)).alias("doc_count"), F.avg("score").alias("avg_score"))
+        .orderBy(F.desc("doc_count"), F.asc("key"))
+        .limit(2)
+        .toPandas()
+    )
+    assert got.equals(exp)
+    # doc_count desc, then key asc among the 1-count ties: error first
+    assert list(got["key"]) == ["click", "error"]
+
+
+def test_histogram_agg(ev):
+    got = (
+        aggs_to_df(ev, {"h": {"histogram": {"field": "score", "interval": 50.0}}})
+        .toPandas()
+        .set_index("key")["doc_count"]
+        .to_dict()
+    )
+    assert got == {0.0: 2, 50.0: 3, 400.0: 1}
+
+
+def test_filters_agg_single_pass(ev):
+    body = {"aggs": {"b": {
+        "filters": {"filters": {
+            "clicks": {"term": {"kind": "click"}},
+            "big": {"range": {"score": {"gte": 100}}},
+        }},
+        "aggs": {"s": {"sum": {"field": "score"}}},
+    }}}
+    out = elastic_search(ev, body)
+    row = out.collect()[0]
+    assert row["clicks_doc_count"] == 3 and abs(row["clicks_s"] - 155.5) < 1e-9
+    assert row["big_doc_count"] == 1 and abs(row["big_s"] - 400.0) < 1e-9
+    # ONE scan: a single aggregate over a single source, no union/join
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Union" not in plan and "Join" not in plan
+
+
+def test_hits_sort_size_source(ev):
+    body = {
+        "query": {"range": {"score": {"gt": 10}}},
+        "sort": [{"score": {"order": "desc"}}],
+        "size": 2,
+        "_source": ["id", "score"],
+    }
+    got = elastic_search(ev, body).toPandas()
+    assert list(got.columns) == ["id", "score"]
+    assert list(got["id"]) == [5, 3]
+
+
+def test_date_math_parsing():
+    """Date-math grammar vs the reference's date_math.go semantics."""
+    import datetime as dt
+
+    from sneller_spark.adapters.elastic import ElasticDslError, parse_date_math
+
+    now = dt.datetime(2024, 3, 15, 13, 45, 30, 123456)
+    assert parse_date_math("now", now) == now
+    assert parse_date_math("now-7d", now) == now - dt.timedelta(days=7)
+    assert parse_date_math("now-7d/d", now) == dt.datetime(2024, 3, 8)
+    assert parse_date_math("now+12h", now) == now + dt.timedelta(hours=12)
+    assert parse_date_math("now/M", now) == dt.datetime(2024, 3, 1)
+    assert parse_date_math("now/w", now) == dt.datetime(2024, 3, 11)  # Monday
+    # calendar month arithmetic incl. clamping (Jan 31 + 1M -> Feb 29)
+    jan31 = dt.datetime(2024, 1, 31)
+    assert parse_date_math("now+1M", jan31) == dt.datetime(2024, 2, 29)
+    assert parse_date_math("now-2M", jan31) == dt.datetime(2023, 11, 30)
+    assert parse_date_math("now+1y", dt.datetime(2024, 2, 29)) == dt.datetime(2025, 2, 28)
+    # anchored form
+    assert parse_date_math("2024-01-05||+1M/d") == dt.datetime(2024, 2, 5)
+    assert parse_date_math("2024-01-05 06:07:08||/h") == dt.datetime(2024, 1, 5, 6)
+    with pytest.raises(ElasticDslError):
+        parse_date_math("yesterday")
+    with pytest.raises(ElasticDslError):
+        parse_date_math("now-7q")
+
+
+def test_range_with_date_math(ev, spark):
+    import datetime as dt
+
+    rows = [(i, dt.datetime(2024, 3, 1) + dt.timedelta(days=i)) for i in range(20)]
+    df = spark.createDataFrame(rows, ["id", "ts"])
+    now = dt.datetime(2024, 3, 15, 12, 0, 0)
+    q = {"range": {"ts": {"gte": "now-3d/d", "lt": "now/d"}}}
+    got = sorted(r["id"] for r in df.filter(query_to_column(q, now=now)).collect())
+    # [2024-03-12 00:00, 2024-03-15 00:00) -> days 11,12,13
+    assert got == [11, 12, 13]

@@ -226,3 +226,46 @@ def test_watermarked_windows_emit_once_and_drop_late(spark, tmp_path):
     assert rows[("2026-01-01 03:00:00", "view")] == 1
     # append mode: every (window, key) appears exactly once
     assert len(got) == len(set(zip(got["window_start"], got["event_type"])))
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Re-deliveries of the same doc_id across micro-batches within the
+    watermark horizon are dropped; every id surfaces exactly once."""
+    import datetime as dt
+
+    from sneller_spark.streaming.incremental import stream_dedup_within_watermark
+
+    d = tmp_path / "dedup_stream"
+    d.mkdir()
+    base = dt.datetime(2024, 5, 1, 12, 0, 0)
+
+    def write(name, rows):
+        pdf = pd.DataFrame(rows, columns=["doc_id", "ts", "payload"])
+        # micro-precision: pandas defaults to ns, which Spark's parquet
+        # reader rejects for TIMESTAMP columns
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        pdf.to_parquet(d / name, index=False)
+
+    # batch 1: ids 1..4; batch 2 re-delivers 2 and 3 minutes later,
+    # plus new ids 5,6
+    write("b1.parquet", [(i, base + dt.timedelta(minutes=i), f"p{i}") for i in (1, 2, 3, 4)])
+    write("b2.parquet", [
+        (2, base + dt.timedelta(minutes=9), "dup"),
+        (3, base + dt.timedelta(minutes=10), "dup"),
+        (5, base + dt.timedelta(minutes=11), "p5"),
+        (6, base + dt.timedelta(minutes=12), "p6"),
+    ])
+
+    q = stream_dedup_within_watermark(
+        spark, str(d), "doc_id long, ts timestamp, payload string",
+        id_cols=["doc_id"], watermark="30 minutes",
+        query_name="t_stream_dedup",
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.table("t_stream_dedup").toPandas()
+    finally:
+        q.stop()
+    assert sorted(got["doc_id"]) == [1, 2, 3, 4, 5, 6]
+    # first occurrence wins: the re-delivered payloads never surface
+    assert "dup" not in set(got["payload"])
