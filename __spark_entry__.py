@@ -57,8 +57,10 @@ _PRIORITY = [
     # scalar builtin families
     "string_functions", "like_contains_ci", "regexp_similar_to",
     "contains_fuzzy_parts", "date_trunc_day_agg",
-    "math_functions", "histogram_width_bucket", "hash_lookup_inline",
+    "math_functions", "hash_lookup_inline",
     "geo_tile_functions", "ip_subnet_filter", "datashape_profile",
+    # Elastic DSL adapter (elasticproxy analog)
+    "elastic_terms_agg",
     # flagship DAG + routed-row equality (the north-rule checks)
     "tokens_pipeline_flagship", "routed_rows_equality",
     # dedup / similarity / text / curation (LLM-data-pipeline families)
