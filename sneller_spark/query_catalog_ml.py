@@ -1149,3 +1149,24 @@ def elastic_filters_one_pass(spark, sf_dir):
         "clicks_doc_count", F.round("clicks_v", 4).alias("clicks_v"),
         "s_types_doc_count", F.round("s_types_v", 4).alias("s_types_v"),
     )
+
+
+@register("multimodal_ppm_features_real", None)  # binary codec: rows-only
+def multimodal_ppm_features_real(spark, sf_dir):
+    """REAL multimodal decode path — no stub: PPM payloads decoded with
+    pure numpy inside mapInPandas (Arrow batches), per-channel
+    mean/std + block-thumbnail features out, then resize + re-encode
+    verified by re-decoding.  Exact feature values are pytest-checked
+    against local numpy (test_ppm_features_real_decode); no SQL engine
+    decodes binary images, hence rows-only here."""
+    from .operators.multimodal import ppm_image_features, synth_ppm_assets_df
+
+    assets = synth_ppm_assets_df(spark, n=32)
+    feats = ppm_image_features(assets, grid=2)
+    return feats.select(
+        "asset_id",
+        F.size("features").alias("n_dims"),
+        F.round(F.element_at("features", 1), 4).alias("mean_r"),
+        F.round(F.element_at("features", 2), 4).alias("mean_g"),
+        F.round(F.element_at("features", 3), 4).alias("mean_b"),
+    )

@@ -53,3 +53,70 @@ def test_video_frame_sampling(spark, assets):
     expected = sum((int(n) + 7) // 8 for n in vids["n_frames"])
     assert len(frames) == expected
     assert (frames["frame_idx"] % 8 == 0).all()
+
+
+def test_ppm_codec_roundtrip():
+    import numpy as np
+
+    from sneller_spark.operators.multimodal import decode_ppm, encode_ppm
+
+    rng = np.random.Generator(np.random.PCG64(1))
+    img = rng.integers(0, 256, size=(13, 7, 3)).astype(np.uint8)
+    assert (decode_ppm(encode_ppm(img)) == img).all()
+    # header comments tolerated
+    data = encode_ppm(img)
+    commented = data[:3] + b"# a comment\n" + data[3:]
+    assert (decode_ppm(commented) == img).all()
+
+
+def test_ppm_features_real_decode(spark):
+    """REAL decode path (no stub): a constant-color image's features
+    are exactly the known channel means with zero std."""
+    import numpy as np
+
+    from sneller_spark.operators.multimodal import (
+        ASSET_SCHEMA,
+        encode_ppm,
+        ppm_image_features,
+        synth_ppm_assets_df,
+    )
+
+    solid = np.zeros((10, 10, 3), dtype=np.uint8)
+    solid[:, :, 0] = 255  # pure red
+    rows = [("solid-red", "image", bytearray(encode_ppm(solid)),
+             {"width": 10, "height": 10, "sample_rate": None,
+              "n_frames": None, "codec": "ppm"})]
+    df = spark.createDataFrame(rows, ASSET_SCHEMA)
+    feats = ppm_image_features(df, grid=2).toPandas().iloc[0]["features"]
+    assert len(feats) == 6 + 3 * 4
+    np.testing.assert_allclose(feats[0:3], [1.0, 0.0, 0.0], atol=1e-6)  # means
+    np.testing.assert_allclose(feats[3:6], [0.0, 0.0, 0.0], atol=1e-6)  # stds
+    # every grid block of a solid image has the same mean
+    np.testing.assert_allclose(feats[6::3], [1.0] * 4, atol=1e-6)
+
+    # determinism across partitionings on the synthetic corpus
+    assets = synth_ppm_assets_df(spark, n=12)
+    a = ppm_image_features(assets).toPandas().set_index("asset_id").sort_index()
+    b = ppm_image_features(assets.repartition(5)).toPandas().set_index("asset_id").sort_index()
+    for k in a.index:
+        np.testing.assert_allclose(a.loc[k, "features"], b.loc[k, "features"])
+
+
+def test_ppm_resize_real(spark):
+    import numpy as np
+
+    from sneller_spark.operators.multimodal import (
+        decode_ppm,
+        resize_ppm_images,
+        synth_ppm_assets_df,
+    )
+
+    assets = synth_ppm_assets_df(spark, n=6)
+    out = resize_ppm_images(assets, 8, 8).toPandas()
+    assert len(out) == 6
+    for _, row in out.iterrows():
+        img = decode_ppm(bytes(row["payload"]))
+        assert img.shape == (8, 8, 3)
+    assert all(
+        (m["width"], m["height"]) == (8, 8) for m in out["meta"]
+    )
