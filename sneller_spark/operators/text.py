@@ -96,3 +96,47 @@ def document_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("fingerprint", fp).withColumn(
         "shard", F.conv(F.substring(fp, 1, 1), 16, 10).cast("int")
     )
+
+
+def unigram_logprob_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    smoothing: float = 0.5,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Corpus-unigram log-probability per document — the cheap,
+    fully-distributed analog of perplexity filtering: documents whose
+    words are improbable under the corpus's own unigram distribution
+    (gibberish, boilerplate code, wrong-language residue) score low
+    and can be cut at a quantile.
+
+    Two passes, all JVM expressions: (1) one explode + count builds the
+    unigram model (word -> count, with add-k smoothing over the
+    observed vocabulary); (2) tokens join the model on the word and a
+    per-doc mean of log p(w) aggregates out.  The model is a
+    word-count table, orders of magnitude smaller than the corpus, so
+    at 100 TB the join side stays broadcast-able for any realistic
+    vocabulary (or shuffles on the word key — never on documents)."""
+    words = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.col(text_col), r"\s+")).alias("word"),
+    )
+    totals = words.groupBy("word").agg(F.count(F.lit(1)).alias("wc"))
+    # add-k smoothing over the observed vocab; constants folded in SQL
+    n_and_v = totals.agg(
+        F.sum("wc").alias("n"), F.count(F.lit(1)).alias("v")
+    ).collect()[0]
+    n_total, vocab = float(n_and_v["n"]), float(n_and_v["v"])
+    denom = n_total + smoothing * vocab
+    logp = F.log((F.col("wc") + F.lit(smoothing)) / F.lit(denom))
+    model = totals.select("word", logp.alias("logp"))
+    return (
+        words.join(model, "word")
+        .groupBy("id")
+        .agg(
+            F.round(F.avg("logp"), round_digits).alias("mean_logprob"),
+            F.count(F.lit(1)).alias("n_words"),
+        )
+        .select(F.col("id").alias(id_col), "mean_logprob", "n_words")
+    )

@@ -1170,3 +1170,58 @@ def multimodal_ppm_features_real(spark, sf_dir):
         F.round(F.element_at("features", 2), 4).alias("mean_g"),
         F.round(F.element_at("features", 3), 4).alias("mean_b"),
     )
+
+
+@register(
+    "text_unigram_logprob",
+    """WITH w AS (
+         SELECT doc_id, unnest(string_split(text, ' ')) AS word
+         FROM documents WHERE doc_id < 200
+       ), t AS (
+         SELECT word, COUNT(*) AS wc FROM w GROUP BY word
+       ), c AS (
+         SELECT CAST(SUM(wc) AS DOUBLE) AS n, CAST(COUNT(*) AS DOUBLE) AS v FROM t
+       ), m AS (
+         SELECT word, ln((wc + 0.5) / (c.n + 0.5 * c.v)) AS logp FROM t, c
+       )
+       SELECT w.doc_id, ROUND(AVG(m.logp), 4) AS mean_logprob,
+              COUNT(*) AS n_words
+       FROM w JOIN m USING (word) GROUP BY w.doc_id""",
+)
+def text_unigram_logprob(spark, sf_dir):
+    """Corpus-unigram log-probability scoring (the distributed analog
+    of perplexity filtering): documents improbable under the corpus's
+    own unigram model score low.  Value-checked — DuckDB reproduces the
+    identical smoothed model and per-doc mean."""
+    from .operators.text import unigram_logprob_score
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return unigram_logprob_score(d, "doc_id", "text", smoothing=0.5, round_digits=4)
+
+
+@register(
+    "bucketed_partitionwise_agg",
+    """SELECT l_returnflag AS flag, COUNT(*) AS n,
+              ROUND(SUM(l_quantity), 4) AS sum_qty
+       FROM lineitem GROUP BY 1""",
+)
+def bucketed_partitionwise_agg(spark, sf_dir):
+    """Partition-wise aggregation (reference plan/pir/partition.go:
+    23-77 — GROUP BY on partition keys becomes per-partition
+    sub-plans): the table is written bucketed on the group key, so both
+    partial and final HashAggregate run inside the scan's bucket
+    distribution with NO Exchange (plan-asserted in
+    test_bucketed_aggregation_has_no_shuffle); values checked against
+    the plain GROUP BY oracle."""
+    from .sources.bucketing import bucketed_agg, write_bucketed
+
+    li = load(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
+    write_bucketed(li, "pw_agg_lineitem", ["l_returnflag"], n_buckets=4)
+    agg = bucketed_agg(
+        spark,
+        "pw_agg_lineitem",
+        ["l_returnflag"],
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+    )
+    return agg.select(F.col("l_returnflag").alias("flag"), "n", "sum_qty")

@@ -423,3 +423,28 @@ def test_dedup_near_keep_rows_end_to_end(spark, docs_df):
     got = dedup_near_keep_rows(docs_df, pairs, "doc_id").toPandas()
     assert sorted(got["doc_id"]) == [0, 2, 4, 5]
     assert set(got.columns) == {"doc_id", "text"}
+
+
+def test_unigram_logprob_matches_python(spark, docs_df):
+    """Smoothed corpus-unigram mean log-prob vs a plain python model."""
+    import math
+    from collections import Counter
+
+    from sneller_spark.operators.text import unigram_logprob_score
+
+    got = (
+        unigram_logprob_score(docs_df, "doc_id", "text", smoothing=0.5, round_digits=6)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    counts = Counter(w for _, t in DOCS for w in t.split())
+    n, v = sum(counts.values()), len(counts)
+    denom = n + 0.5 * v
+    for i, text in DOCS:
+        ws = text.split()
+        exp = sum(math.log((counts[w] + 0.5) / denom) for w in ws) / len(ws)
+        assert abs(got.loc[i, "mean_logprob"] - exp) < 1e-5, i
+        assert got.loc[i, "n_words"] == len(ws)
+    # an out-of-distribution doc scores lower than a typical one
+    assert got["mean_logprob"].min() < got["mean_logprob"].max()
