@@ -27,7 +27,21 @@ def write_bucketed(
     sort_cols: list[str] | None = None,
     mode: str = "overwrite",
 ) -> None:
-    """Persist as a bucketed (optionally sorted) catalog table."""
+    """Persist as a bucketed (optionally sorted) catalog table.
+
+    Overwrite is made robust against ORPHANED managed-table locations:
+    the session catalog is in-memory, so a table directory left by a
+    previous session has no catalog entry and a plain overwrite fails
+    with LOCATION_ALREADY_EXISTS — detect that case and clear the
+    stale directory first."""
+    spark = df.sparkSession
+    if mode == "overwrite" and not spark.catalog.tableExists(table):
+        import os
+        import shutil
+        from urllib.parse import urlparse
+
+        warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        shutil.rmtree(os.path.join(warehouse, table.lower()), ignore_errors=True)
     w = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
     if sort_cols:
         w = w.sortBy(*sort_cols)
