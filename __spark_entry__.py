@@ -39,35 +39,38 @@ from sneller_spark.session import ship_package  # noqa: E402
 # ---------------------------------------------------------------------
 _PRIORITY = [
     # scans / projections / predicates
-    "scan_project_filter", "case_when_projection", "cast_try_cast",
+    "scan_project_filter", "case_when_projection",
     # aggregations
     "agg_q1_pricing_summary", "agg_minmax_earliest_latest",
     "agg_filter_clause", "bit_bool_aggs", "count_distinct_exact",
     "percentile_exact", "stddev_variance_pop", "grouping_rollup",
+    "bucketed_partitionwise_agg",
     # joins
     "broadcast_join_agg", "join_three_way_star", "left_join_null_default",
     "semi_join_in_subquery", "anti_join_not_exists", "cross_join_unnested",
-    "exists_correlated", "scalar_subquery_avg",
+    "exists_correlated",
     # windows / sorts / sessions
     "window_topn_per_group", "topk_orders", "q3_shipping_priority",
     "sessionization_gaps",
     # set ops / unnest / pivot
-    "distinct_tuple", "union_all_append", "intersect_nationkeys",
-    "explode_words_topk", "unpivot_part_metrics", "pivot_status_by_flag",
+    "distinct_tuple", "union_all_append",
+    "explode_words_topk", "unpivot_part_metrics",
     # scalar builtin families
-    "string_functions", "like_contains_ci", "regexp_similar_to",
+    "like_contains_ci", "regexp_similar_to",
     "contains_fuzzy_parts", "date_trunc_day_agg",
-    "math_functions", "hash_lookup_inline",
+    "hash_lookup_inline",
     "geo_tile_functions", "ip_subnet_filter", "datashape_profile",
     # Elastic DSL adapter (elasticproxy analog)
-    "elastic_terms_agg",
+    "elastic_terms_agg", "elastic_date_histogram_day",
     # flagship DAG + routed-row equality (the north-rule checks)
     "tokens_pipeline_flagship", "routed_rows_equality",
     # dedup / similarity / text / curation (LLM-data-pipeline families)
     "dedup_exact_counts", "dedup_keep_first_rows", "ngram_jaccard_pairs",
+    "dedup_connected_components",
     "ann_cosine_topk_brute", "embedding_cosine_near_dup_blocked",
     "language_id_heuristic", "near_dedup_surviving_rows",
-    "curation_hash_split",
+    "curation_hash_split", "curation_decontaminate",
+    "sequence_packing_bins", "text_unigram_logprob",
 ]
 assert len(_PRIORITY) == 50
 

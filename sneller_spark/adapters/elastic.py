@@ -23,7 +23,8 @@ Supported (mirroring elasticproxy's documented surface):
           approximate HLL when `precision_threshold` is given, like
           Elastic), stats, percentiles (exact);
           bucket — terms (size, deterministic doc-count-desc/key-asc
-          order), histogram (interval), date_histogram
+          order), multi_terms (composite keys, _count/_key order;
+          aggs_multi_terms.go), histogram (interval), date_histogram
           (calendar_interval hour/day/month/year), filters (named
           predicates -> FILTER-clause aggregates, single pass)
   top level: query + aggs, or query + sort/size/_source (hits)
@@ -189,18 +190,34 @@ def query_to_column(q: dict[str, Any] | None, now=None) -> Column:
         for sub in body.get("must", []) + body.get("filter", []):
             pred = pred & query_to_column(sub, now)
         for sub in body.get("must_not", []):
-            pred = pred & ~query_to_column(sub, now)
+            # null-safe: Elastic's must_not KEEPS docs where the inner
+            # predicate can't match (e.g. term on a missing field);
+            # a bare `~NULL` would be NULL and drop the row
+            inner = F.coalesce(query_to_column(sub, now), F.lit(False))
+            pred = pred & ~inner
         should = [query_to_column(s, now) for s in body.get("should", [])]
         if should:
-            required = (
-                "minimum_should_match" in body
-                or not (body.get("must") or body.get("filter"))
-            )
-            if required:
-                any_of = should[0]
-                for s in should[1:]:
-                    any_of = any_of | s
-                pred = pred & any_of
+            if "minimum_should_match" in body:
+                msm = body["minimum_should_match"]
+                if not isinstance(msm, int) or isinstance(msm, bool) or msm < 0:
+                    raise ElasticDslError(
+                        f"unsupported minimum_should_match {msm!r} "
+                        "(only non-negative integers)"
+                    )
+            else:
+                # Elastic default: should is required only when there
+                # is no must/filter context
+                msm = 1 if not (body.get("must") or body.get("filter")) else 0
+            if msm > len(should):
+                return F.lit(False)
+            if msm > 0:
+                # count satisfied should-clauses (NULL counts as not
+                # matching) and require at least msm of them
+                matched = sum(
+                    (F.coalesce(s, F.lit(False)).cast("int") for s in should),
+                    F.lit(0),
+                )
+                pred = pred & (matched >= F.lit(msm))
         return pred
     raise ElasticDslError(f"unsupported query kind {kind!r}")
 
@@ -281,20 +298,48 @@ _CAL_INTERVALS = {
 def aggs_to_df(df: DataFrame, aggs: dict[str, Any]) -> DataFrame:
     """Translate an `aggs` object.  Exactly one bucket agg (with
     optional metric sub-aggs) or a flat set of metric aggs."""
-    bucket_items = [
-        (n, s) for n, s in aggs.items()
-        if set(s) & {"terms", "histogram", "date_histogram", "filters"}
-    ]
+    _BUCKET_KINDS = {"terms", "multi_terms", "histogram", "date_histogram", "filters"}
+    bucket_items = [(n, s) for n, s in aggs.items() if set(s) & _BUCKET_KINDS]
     if not bucket_items:
         return df.agg(*_sub_metric_exprs(aggs))
     if len(bucket_items) > 1:
         raise ElasticDslError("one bucket agg per level (like elasticproxy)")
     name, spec = bucket_items[0]
     sub = {k: v for k, v in spec.items() if k == "aggs"}.get("aggs")
-    kind = next(k for k in spec if k in ("terms", "histogram", "date_histogram", "filters"))
+    kind = next(k for k in spec if k in _BUCKET_KINDS)
     body = spec[kind]
     metrics = _sub_metric_exprs(sub)
 
+    if kind == "multi_terms":
+        # composite-key terms buckets (reference:
+        # elasticproxy/elastic-proxy/aggs_multi_terms.go:28-78 — GROUP
+        # BY every listed field, COUNT(*) doc_count, default order
+        # doc-count DESC, LIMIT size).  Keys surface as key_0..key_n-1
+        # so heterogeneous field names never collide.
+        fields = [t["field"] for t in body["terms"]]
+        if not fields:
+            raise ElasticDslError("multi_terms needs at least one term field")
+        size = int(body.get("size", 10))
+        keys = [F.col(f).alias(f"key_{i}") for i, f in enumerate(fields)]
+        out = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("doc_count"), *metrics)
+        order = body.get("order") or {"_count": "desc"}
+        sort_exprs: list[Column] = []
+        for k, v in order.items():
+            if k == "_count":
+                sort_exprs.append(
+                    F.desc("doc_count") if v == "desc" else F.asc("doc_count")
+                )
+            elif k == "_key":
+                sort_exprs.extend(
+                    F.desc(f"key_{i}") if v == "desc" else F.asc(f"key_{i}")
+                    for i in range(len(fields))
+                )
+            else:
+                raise ElasticDslError(f"unsupported multi_terms order key {k!r}")
+        # deterministic tiebreak on the keys (Elastic buckets are
+        # key-ordered within equal counts)
+        sort_exprs.extend(F.asc(f"key_{i}") for i in range(len(fields)))
+        return out.orderBy(*sort_exprs).limit(size)
     if kind == "terms":
         size = int(body.get("size", 10))
         out = df.groupBy(F.col(body["field"]).alias("key")).agg(
@@ -331,13 +376,19 @@ def elastic_search(df: DataFrame, body: dict[str, Any], now=None) -> DataFrame:
     out = df.filter(query_to_column(body.get("query"), now))
     if "aggs" in body or "aggregations" in body:
         return aggs_to_df(out, body.get("aggs") or body["aggregations"])
+    # Elastic sort is lexicographic over the listed keys (first key
+    # primary); collect every key into ONE orderBy — chained orderBy
+    # calls would each REPLACE the previous sort
+    sort_exprs: list[Column] = []
     for s in body.get("sort", []):
         if isinstance(s, str):
-            out = out.orderBy(F.asc(s))
+            sort_exprs.append(F.asc(s))
         else:
             (field, spec), = s.items()
             order = spec.get("order", "asc") if isinstance(spec, dict) else spec
-            out = out.orderBy(F.desc(field) if order == "desc" else F.asc(field))
+            sort_exprs.append(F.desc(field) if order == "desc" else F.asc(field))
+    if sort_exprs:
+        out = out.orderBy(*sort_exprs)
     if "_source" in body:
         out = out.select(*body["_source"])
     if "size" in body:

@@ -1120,6 +1120,33 @@ def elastic_date_histogram_day(spark, sf_dir):
 
 
 @register(
+    "elastic_multi_terms_agg",
+    """SELECT o_orderstatus AS key_0, o_orderpriority AS key_1,
+              COUNT(*) AS doc_count,
+              ROUND(AVG(o_totalprice), 4) AS avg_price
+       FROM orders GROUP BY 1, 2
+       ORDER BY doc_count DESC, key_0 ASC, key_1 ASC LIMIT 6""",
+)
+def elastic_multi_terms_agg(spark, sf_dir):
+    """multi_terms bucket agg (aggs_multi_terms.go:28-78): composite
+    (status, priority) keys, doc-count-desc Elastic default order with
+    deterministic key tiebreak, avg sub-agg — one composite groupBy."""
+    from .adapters.elastic import elastic_search
+
+    body = {"aggs": {"by_status_prio": {
+        "multi_terms": {
+            "terms": [{"field": "o_orderstatus"}, {"field": "o_orderpriority"}],
+            "size": 6,
+        },
+        "aggs": {"avg_price": {"avg": {"field": "o_totalprice"}}},
+    }}}
+    out = elastic_search(load(spark, sf_dir, "orders"), body)
+    return out.select(
+        "key_0", "key_1", "doc_count", F.round("avg_price", 4).alias("avg_price")
+    )
+
+
+@register(
     "elastic_filters_one_pass",
     """SELECT COUNT(CASE WHEN value >= 400 THEN 1 END) AS big_doc_count,
               ROUND(SUM(CASE WHEN value >= 400 THEN value END), 4) AS big_v,

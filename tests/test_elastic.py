@@ -160,6 +160,82 @@ def test_date_math_parsing():
         parse_date_math("now-7q")
 
 
+def test_must_not_null_safe(ev):
+    """must_not keeps docs MISSING the field (inner predicate NULL):
+    Elastic's must_not excludes only positive matches."""
+    q = {"bool": {"must_not": [{"term": {"tag": "beta"}}]}}
+    # id 3 has tag=NULL -> term is NULL -> must_not must KEEP it
+    assert _ids(ev.filter(query_to_column(q))) == [1, 3, 4, 5]
+
+
+def test_minimum_should_match_numeric(ev):
+    """minimum_should_match honors its numeric value, not mere presence."""
+    shoulds = [
+        {"term": {"kind": "click"}},
+        {"range": {"score": {"gte": 50}}},
+        {"prefix": {"tag": "alpha"}},
+    ]
+    base = {"must": [{"range": {"score": {"gt": 0}}}], "should": shoulds}
+    got = {
+        n: _ids(ev.filter(query_to_column(
+            {"bool": dict(base, minimum_should_match=n)}
+        )))
+        for n in (0, 1, 2, 3, 4)
+    }
+    # n=0: should advisory; n=1: any; n=2: at least two (ids 1,3,6);
+    # n=3: all three (none); n>len: unsatisfiable
+    assert got[0] == [1, 2, 3, 4, 5, 6]
+    assert got[1] == [1, 2, 3, 4, 5, 6]
+    assert got[2] == [1, 3, 6]
+    assert got[3] == []
+    assert got[4] == []
+    with pytest.raises(ElasticDslError):
+        query_to_column({"bool": {"should": shoulds, "minimum_should_match": "75%"}})
+    with pytest.raises(ElasticDslError):
+        query_to_column({"bool": {"should": shoulds, "minimum_should_match": -1}})
+
+
+def test_hits_multi_key_sort(ev):
+    """A multi-entry sort list is lexicographic (first key primary) —
+    one orderBy over all keys, not chained orderBy calls."""
+    body = {
+        "sort": [{"score": {"order": "desc"}}, {"id": {"order": "asc"}}],
+        "size": 4,
+        "_source": ["id", "score"],
+    }
+    got = elastic_search(ev, body).toPandas()
+    # score desc: 400, 90, 55.5, 55.5 — the tie broken by id asc (2 < 6)
+    assert list(got["id"]) == [5, 3, 2, 6]
+
+
+def test_multi_terms_agg(ev):
+    """multi_terms: composite-key buckets, default _count desc order,
+    key tiebreak, size cap, metric sub-agg (aggs_multi_terms.go)."""
+    body = {"aggs": {"mt": {
+        "multi_terms": {
+            "terms": [{"field": "kind"}, {"field": "tag"}],
+            "size": 3,
+        },
+        "aggs": {"s": {"sum": {"field": "score"}}},
+    }}}
+    got = elastic_search(ev, body).toPandas()
+    assert list(got.columns) == ["key_0", "key_1", "doc_count", "s"]
+    # (click,beta) is the only 1+-sized... counts: (click,alpha)=1,
+    # (click,None)=1, (click,beta)=1, (view,beta)=1, (signup,alphabet)=1,
+    # (error,gamma)=1 — all ties, so key order decides the top 3
+    assert got["doc_count"].tolist() == [1, 1, 1]
+    assert list(zip(got["key_0"], got["key_1"]))[0][0] == "click"
+    # explicit _key desc order
+    body2 = {"aggs": {"mt": {"multi_terms": {
+        "terms": [{"field": "kind"}, {"field": "tag"}],
+        "order": {"_key": "desc"}, "size": 2,
+    }}}}
+    got2 = elastic_search(ev, body2).toPandas()
+    assert list(got2["key_0"]) == ["view", "signup"]
+    with pytest.raises(ElasticDslError):
+        aggs_to_df(ev, {"mt": {"multi_terms": {"terms": []}}})
+
+
 def test_range_with_date_math(ev, spark):
     import datetime as dt
 
