@@ -97,6 +97,7 @@ def decontaminate(
     text_col: str = "text",
     shingle_k: int = 5,
     mode: str = "clean",
+    max_broadcast_shingles: int = 5_000_000,
 ) -> DataFrame:
     """Benchmark decontamination: remove (mode='clean') or report
     (mode='contaminated') training docs sharing at least one word
@@ -107,7 +108,14 @@ def decontaminate(
     construction (eval sets are thousands of docs, not billions), so
     Spark broadcasts it — the training side is never shuffled.  An
     anti/semi join keeps only train-side columns and stops probing a
-    row at its first match."""
+    row at its first match.
+
+    The broadcast is GUARDED (same discipline as the enrich/route
+    stages): a pathologically large benchmark shingle set raises
+    BroadcastGuardError cleanly (a limit-capped count probe, not a
+    full count) instead of OOMing the driver mid-broadcast."""
+    from ..pipeline.enrich import assert_broadcastable
+
     t_sh = ngram_shingles(train, text_col, shingle_k).select(
         F.col(id_col), F.explode("shingles").alias("shingle")
     )
@@ -116,6 +124,9 @@ def decontaminate(
         .select(F.explode("shingles").alias("shingle"))
         .distinct()
     )
+    # eval sets shingle to ~#docs * #words rows; the default guard sits
+    # well above any real benchmark but far below driver-OOM territory
+    assert_broadcastable(b_sh, max_rows=max_broadcast_shingles)
     hit_ids = (
         t_sh.join(F.broadcast(b_sh), "shingle", "left_semi").select(id_col).distinct()
     )

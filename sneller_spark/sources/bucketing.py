@@ -40,8 +40,18 @@ def write_bucketed(
         import shutil
         from urllib.parse import urlparse
 
+        # managed-table layout: default db lives at the warehouse root
+        # (<warehouse>/<tbl>), any other db under <warehouse>/<db>.db/<tbl>
+        if "." in table:
+            db, tbl = table.rsplit(".", 1)
+        else:
+            db, tbl = spark.catalog.currentDatabase(), table
         warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-        shutil.rmtree(os.path.join(warehouse, table.lower()), ignore_errors=True)
+        if db.lower() in ("", "default"):
+            stale = os.path.join(warehouse, tbl.lower())
+        else:
+            stale = os.path.join(warehouse, f"{db.lower()}.db", tbl.lower())
+        shutil.rmtree(stale, ignore_errors=True)
     w = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
     if sort_cols:
         w = w.sortBy(*sort_cols)

@@ -85,6 +85,24 @@ def test_decontaminate_planted_overlap(spark):
     assert set(clean.columns) == {"doc_id", "text"}
 
 
+def test_decontaminate_broadcast_guard(spark):
+    """An oversized benchmark shingle set raises BroadcastGuardError
+    (clean refusal) instead of an unguarded driver-side broadcast."""
+    from sneller_spark.pipeline.enrich import BroadcastGuardError
+
+    train = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")], ["doc_id", "text"]
+    )
+    bench = spark.createDataFrame(
+        [(i, f"tok{i} alpha beta gamma delta epsilon zeta") for i in range(8)],
+        ["bench_id", "text"],
+    )
+    with pytest.raises(BroadcastGuardError):
+        decontaminate(train, bench, shingle_k=5, max_broadcast_shingles=5)
+    # generous guard: same inputs pass untouched
+    assert decontaminate(train, bench, shingle_k=5).count() == 1
+
+
 def test_pack_sequences_prefix_sum_bins(spark):
     rows = [(i, "s0", 600) for i in range(10)]  # 600*10 = 6000 tokens
     df = spark.createDataFrame(rows, ["doc_id", "source", "n_tok"])

@@ -414,6 +414,42 @@ def test_connected_components_vs_union_find(spark):
     assert got == {k: expect[k] for k in got}
 
 
+def test_connected_components_long_chain_log_rounds(spark):
+    """Adversarial 1000-node chain (diameter 999): path-halving pointer
+    jumping must converge in O(log n) rounds — max_iter=20 would be
+    hopeless for pure propagation (needs ~999 rounds) but is ample for
+    halving (~10).  strict=True means non-convergence would raise, so
+    plain completion IS the round-budget assertion."""
+    from sneller_spark.operators.dedup import connected_components
+
+    edges = [(i, i + 1) for i in range(1, 1000)]
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = connected_components(df, max_iter=20, strict=True).toPandas()
+    assert len(got) == 1000
+    assert (got["component"] == 1).all()
+
+
+def test_connected_components_nonconvergence_signals(spark):
+    """Exhausting max_iter must never return partial labels silently:
+    strict raises ConvergenceError, non-strict warns."""
+    import warnings
+
+    from sneller_spark.operators.dedup import (
+        ConvergenceError,
+        connected_components,
+    )
+
+    edges = [(i, i + 1) for i in range(1, 40)]
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    with pytest.raises(ConvergenceError, match="did not converge"):
+        connected_components(df, max_iter=1, strict=True)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        partial = connected_components(df, max_iter=1, strict=False)
+        assert partial.count() == 40
+    assert any("did not converge" in str(w.message) for w in caught)
+
+
 def test_dedup_near_keep_rows_end_to_end(spark, docs_df):
     """Pairs (0,1),(0,3) -> cluster {0,1,3} keeps doc 0; docs 2,4,5
     survive untouched with all columns."""

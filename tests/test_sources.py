@@ -100,6 +100,60 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS b_dims")
 
 
+def test_write_bucketed_qualified_name_orphan_cleanup(spark):
+    """Overwrite of a db-qualified bucketed table must survive an
+    orphaned warehouse directory (files on disk, no entry in the
+    in-memory catalog): the managed path for 'db.tbl' is
+    <warehouse>/<db>.db/<tbl>, not <warehouse>/<db.tbl>."""
+    import os
+    from urllib.parse import urlparse
+
+    from pyspark.sql import functions as F
+
+    from sneller_spark.sources.bucketing import write_bucketed
+
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    spark.sql("CREATE DATABASE IF NOT EXISTS qdb")
+    try:
+        # plant an orphaned location where the managed table would live
+        stale = os.path.join(warehouse, "qdb.db", "q_orphan")
+        os.makedirs(stale, exist_ok=True)
+        open(os.path.join(stale, "junk"), "w").write("stale")
+        assert not spark.catalog.tableExists("qdb.q_orphan")
+
+        df = spark.range(0, 100).select(F.col("id").alias("k"))
+        write_bucketed(df, "qdb.q_orphan", ["k"], n_buckets=4)
+        assert spark.table("qdb.q_orphan").count() == 100
+    finally:
+        spark.sql("DROP TABLE IF EXISTS qdb.q_orphan")
+        spark.sql("DROP DATABASE IF EXISTS qdb CASCADE")
+
+
+def test_bucketed_partitionwise_agg_build_cached(spark):
+    """The catalog entry builds its bucketed table once per source
+    identity: a second invocation finds the table and must not plan a
+    write job (same discipline as the persisted ANN indexes)."""
+    import os
+
+    from sneller_spark import query_catalog_ml  # noqa: F401 — registers the entry
+    from sneller_spark.query_catalog import CATALOG
+
+    sf_dir = "/root/testdata/sf0.001"
+    first = CATALOG["bucketed_partitionwise_agg"].fn(spark, sf_dir).toPandas()
+    tables = [t.name for t in spark.catalog.listTables()
+              if t.name.startswith("pw_agg_lineitem_")]
+    assert len(tables) == 1
+    # directory mtime freezes once built; a rewrite would bump it
+    from urllib.parse import urlparse
+
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    tdir = os.path.join(warehouse, tables[0])
+    mtime = os.path.getmtime(tdir)
+    second = CATALOG["bucketed_partitionwise_agg"].fn(spark, sf_dir).toPandas()
+    assert sorted(first["flag"]) == sorted(second["flag"])
+    assert os.path.getmtime(tdir) == mtime
+
+
 def test_table_pattern_regex_subset(spark, tmp_path):
     """TABLE_PATTERN (plan/multi.go:73-103): regex over table NAMES
     selects a subset, schemas reconciled by name; no match raises."""
