@@ -30,13 +30,23 @@ GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
 CASES = sorted(glob.glob(os.path.join(GOLDEN_DIR, "*.test")))
 
 
+def _strip_comments(block: str) -> list[str]:
+    # full-line `#` comments, as in the reference corpus
+    # (/root/reference/tests/testcase.go): provenance notes in the
+    # query section, disabled rows in the input section
+    return [
+        l for l in block.strip().splitlines()
+        if l.strip() and not l.lstrip().startswith("#")
+    ]
+
+
 def _parse_case(path: str) -> tuple[str, list[str], list[dict]]:
     text = open(path).read()
     parts = re.split(r"^---$", text, flags=re.MULTILINE)
     assert len(parts) == 3, f"{path}: expected query --- input --- expected"
-    query = parts[0].strip()
-    input_lines = [l for l in parts[1].strip().splitlines() if l.strip()]
-    expected = [json.loads(l) for l in parts[2].strip().splitlines() if l.strip()]
+    query = "\n".join(_strip_comments(parts[0]))
+    input_lines = _strip_comments(parts[1])
+    expected = [json.loads(l) for l in _strip_comments(parts[2])]
     return query, input_lines, expected
 
 
