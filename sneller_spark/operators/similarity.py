@@ -289,6 +289,7 @@ def cosine_near_dup_pairs_blocked(
     seed: int = 42,
     round_digits: int = 6,
     max_bucket_size: int | None = None,
+    bands: int = 1,
 ) -> DataFrame:
     """Scale path for embedding near-dup: SRP-bucket BLOCKING — only
     vectors sharing a sign-random-projection bucket meet in the
@@ -296,6 +297,18 @@ def cosine_near_dup_pairs_blocked(
     probability), then exact cosine re-check.  One shuffle on the
     bucket id, never an all-pairs cross join; the same banded-bucket
     layout as MinHash-LSH (operators/dedup.py).
+
+    ``bands`` > 1 gives MinHash-style multi-band recall for MODERATE
+    similarity: a single 8-plane bank finds a cos≈0.9 pair with
+    probability only (1 - θ/π)^8 ≈ 0.29 (θ = arccos 0.9), so bands=b
+    runs b independent plane banks (seeds derived from ``seed``) and a
+    pair is a candidate if it shares a bucket in ANY band:
+    1-(1-0.29)^b ≈ 0.97 at b=10.  Each row explodes to b (band,bucket)
+    keys — shuffle volume scales linearly with b while the exact
+    re-check keeps precision at 1.0; the planted-0.9-pair recall test
+    lives in tests/test_operators.py.  The default bands=1 keeps the
+    original single-bank plan (no explode) for the near-exact-dup
+    regime where all sign bits agree anyway.
 
     Degenerate-bucket guard (the 100 TB case): with 8 planes there are
     only 256 buckets, and a corpus of near-identical boilerplate
@@ -334,14 +347,25 @@ def cosine_near_dup_pairs_blocked(
             ]
         )
         return df.sparkSession.createDataFrame([], empty_schema)
-    planes = _hyperplanes(int(dim_probe["d"]), n_planes, seed)
     from pyspark import StorageLevel
 
-    bucketed = (
-        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-        .withColumn("_b", srp_bucket_col(F.col("v"), planes))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    dim = int(dim_probe["d"])
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    if bands <= 1:
+        planes = _hyperplanes(dim, n_planes, seed)
+        bucketed = base.withColumn("_b", srp_bucket_col(F.col("v"), planes))
+    else:
+        # one bucket per independent plane bank; (band, bucket) composes
+        # into a single join key so the cap/join logic below is band-blind
+        banks = [_hyperplanes(dim, n_planes, seed + 7919 * k) for k in range(bands)]
+        keys = F.array(
+            *[
+                srp_bucket_col(F.col("v"), banks[k]) + F.lit(k << n_planes)
+                for k in range(bands)
+            ]
+        )
+        bucketed = base.withColumn("_b", F.explode(keys))
+    bucketed = bucketed.persist(StorageLevel.MEMORY_AND_DISK)
     if max_bucket_size is None:
         left, right = bucketed.alias("l"), bucketed.alias("r")
         cand = left.join(

@@ -522,6 +522,34 @@ def embedding_cosine_near_dup_blocked(spark, sf_dir):
     )
 
 
+@register(
+    "embedding_cosine_near_dup_multiband",
+    """SELECT vec_id AS id_a, vec_id + 1000000 AS id_b, 1.0 AS cos_sim
+       FROM embeddings WHERE vec_id < 20""",
+)
+def embedding_cosine_near_dup_multiband(spark, sf_dir):
+    """Multi-band SRP blocking (bands=4 independent plane banks, union
+    of band buckets — MinHash-style recall amplification for the
+    sub-0.99 regime; the planted-0.9-pair recall proof is
+    test_cosine_blocked_multiband_recall_at_090).  Identical vectors
+    share every sign bit in EVERY bank, so the planted exact dups are
+    still found deterministically and the exact oracle holds; the cap
+    bounds each (band, bucket) at O(n)."""
+    from .operators.similarity import cosine_near_dup_pairs_blocked
+
+    e = load(spark, sf_dir, "embeddings")
+    dup = e.filter(F.col("vec_id") < 20).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(1000000)
+    )
+    return cosine_near_dup_pairs_blocked(
+        e.unionByName(dup),
+        threshold=0.99,
+        n_planes=8,
+        bands=4,
+        max_bucket_size=256,
+    )
+
+
 @register("ann_cosine_topk_lsh", None)  # hyperplane pruning: rows-only
 def ann_cosine_topk_lsh(spark, sf_dir):
     e = load(spark, sf_dir, "embeddings")

@@ -414,6 +414,73 @@ def test_connected_components_vs_union_find(spark):
     assert got == {k: expect[k] for k in got}
 
 
+def test_cosine_blocked_multiband_recall_at_090(spark):
+    """Sub-0.99 recall contract: plant 10 pairs at cos≈0.90 among 200
+    background vectors.  A single 8-plane bank catches such a pair with
+    prob ≈0.29 (6 planes: ≈0.40), so single-band misses most of them;
+    12 independent 6-plane bands push per-pair recall to ≈0.998 and
+    (with this fixed seed) the test demands 100% of the planted pairs
+    back.  Precision stays exact via the cosine re-check: no emitted
+    pair may be below threshold."""
+    from sneller_spark.operators.similarity import cosine_near_dup_pairs_blocked
+
+    rng = np.random.Generator(np.random.PCG64(11))
+    dim, n_pairs = 32, 10
+    rows = []
+    for i in range(n_pairs):
+        a = rng.normal(size=dim)
+        a /= np.linalg.norm(a)
+        noise = rng.normal(size=dim)
+        noise -= noise.dot(a) * a
+        noise /= np.linalg.norm(noise)
+        b = 0.9 * a + np.sqrt(1 - 0.81) * noise  # exact cos(a,b) = 0.9
+        rows.append((2 * i, [float(x) for x in a]))
+        rows.append((2 * i + 1, [float(x) for x in b]))
+    for j in range(200):
+        v = rng.normal(size=dim)
+        rows.append((1000 + j, [float(x) for x in (v / np.linalg.norm(v))]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    multi = cosine_near_dup_pairs_blocked(
+        df, threshold=0.89, n_planes=6, bands=12, max_bucket_size=50
+    ).toPandas()
+    got_pairs = set(zip(multi["id_a"], multi["id_b"]))
+    planted = {(2 * i, 2 * i + 1) for i in range(n_pairs)}
+    assert planted <= got_pairs, f"missed: {planted - got_pairs}"
+    assert (multi["cos_sim"] >= 0.89).all()
+
+    # single band genuinely misses at this similarity — the contrast
+    # that motivates the bands parameter
+    single = cosine_near_dup_pairs_blocked(
+        df, threshold=0.89, n_planes=6, bands=1, max_bucket_size=50
+    ).toPandas()
+    single_pairs = set(zip(single["id_a"], single["id_b"]))
+    assert len(planted & single_pairs) < n_pairs
+
+
+def test_cosine_blocked_multiband_matches_exact_on_dups(spark):
+    """bands>1 must not change results where bands=1 already finds
+    everything (near-identical vectors share every bucket)."""
+    from sneller_spark.operators.similarity import (
+        cosine_near_dup_pairs,
+        cosine_near_dup_pairs_blocked,
+    )
+
+    rng = np.random.Generator(np.random.PCG64(5))
+    rows = []
+    for i in range(40):
+        v = rng.normal(size=16)
+        v /= np.linalg.norm(v)
+        rows.append((i, [float(x) for x in v]))
+        if i < 5:  # five exact duplicates
+            rows.append((100 + i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    exact = cosine_near_dup_pairs(df, 0.999).toPandas()
+    banded = cosine_near_dup_pairs_blocked(df, 0.999, bands=4).toPandas()
+    key = lambda p: sorted(zip(p["id_a"], p["id_b"]))  # noqa: E731
+    assert key(banded) == key(exact)
+
+
 def test_connected_components_long_chain_log_rounds(spark):
     """Adversarial 1000-node chain (diameter 999): path-halving pointer
     jumping must converge in O(log n) rounds — max_iter=20 would be
