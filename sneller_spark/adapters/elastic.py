@@ -27,10 +27,14 @@ Supported (mirroring elasticproxy's documented surface):
           aggs_multi_terms.go), histogram (interval), date_histogram
           (calendar_interval hour/day/month/year), filters (named
           predicates -> FILTER-clause aggregates, single pass)
+  nesting: a terms bucket may hold ONE nested bucket agg (terms/
+          histogram/date_histogram, + inner metric sub-aggs) — the
+          proxy's aggsGenerateContext nesting, flattened to one row
+          per (outer, inner) bucket in a single groupBy pass
   top level: query + aggs, or query + sort/size/_source (hits)
 
 Unsupported, like the reference proxy: pipeline aggs, scoring,
-full-text analysis chains, nested sub-buckets beyond metric sub-aggs.
+full-text analysis chains; nesting deeper than two bucket levels.
 """
 
 from __future__ import annotations
@@ -295,10 +299,82 @@ _CAL_INTERVALS = {
 }
 
 
+_BUCKET_KINDS = {"terms", "multi_terms", "histogram", "date_histogram", "filters"}
+
+
+def _bucket_key_col(kind: str, body: dict[str, Any], alias: str) -> Column:
+    """The grouping key expression for one bucket agg level."""
+    if kind == "terms":
+        return F.col(body["field"]).alias(alias)
+    if kind == "histogram":
+        interval = float(body["interval"])
+        return (F.floor(F.col(body["field"]) / interval) * interval).alias(alias)
+    if kind == "date_histogram":
+        iv = body.get("calendar_interval") or body.get("fixed_interval")
+        unit = _CAL_INTERVALS.get(iv)
+        if unit is None:
+            raise ElasticDslError(f"unsupported date_histogram interval {iv!r}")
+        return F.date_trunc(unit, F.col(body["field"])).alias(alias)
+    raise ElasticDslError(f"unsupported nested bucket kind {kind!r}")
+
+
+def _nested_bucket_df(
+    df: DataFrame,
+    outer_body: dict[str, Any],
+    inner_name: str,
+    inner_spec: dict[str, Any],
+) -> DataFrame:
+    """terms bucket containing a nested bucket agg (the reference
+    proxy's aggsGenerateContext nesting — elasticproxy/elastic-proxy/
+    aggs_terms.go builds GROUP BY over every nesting level's key in ONE
+    query; nestingLevel > 1 caps inner buckets at its groupByLimit).
+
+    Flattened tabular output, one row per (outer bucket, inner bucket):
+    `key`/`doc_count` for the outer terms level, `<inner>_key`/
+    `<inner>_doc_count` (+ metric sub-aggs) for the inner level.  One
+    groupBy over both keys; the outer doc_count is a window sum and
+    both size caps are rank filters over the (small) aggregated result
+    — never a second scan of the input."""
+    from pyspark.sql import Window
+
+    inner_kind = next((k for k in inner_spec if k in _BUCKET_KINDS), None)
+    if inner_kind in ("filters", "multi_terms"):
+        raise ElasticDslError(f"nested {inner_kind} buckets unsupported")
+    inner_body = inner_spec[inner_kind]
+    metrics = _sub_metric_exprs(inner_spec.get("aggs"))
+    okey = F.col(outer_body["field"]).alias("key")
+    ikey = _bucket_key_col(inner_kind, inner_body, f"{inner_name}_key")
+    icnt = f"{inner_name}_doc_count"
+
+    grouped = df.groupBy(okey, ikey).agg(F.count(F.lit(1)).alias(icnt), *metrics)
+    out = grouped.withColumn(
+        "doc_count", F.sum(icnt).over(Window.partitionBy("key"))
+    )
+    # outer bucket order/cap: Elastic terms order (doc_count desc, key
+    # asc); dense_rank over that pair gives one rank per outer bucket
+    out = out.withColumn(
+        "_orank",
+        F.dense_rank().over(Window.orderBy(F.desc("doc_count"), F.asc("key"))),
+    ).filter(F.col("_orank") <= int(outer_body.get("size", 10)))
+    inner_size = int(inner_body.get("size", 10)) if inner_kind == "terms" else None
+    order_inner = [F.desc(icnt), F.asc(f"{inner_name}_key")] if inner_kind == "terms" \
+        else [F.asc(f"{inner_name}_key")]
+    out = out.withColumn(
+        "_irank",
+        F.row_number().over(Window.partitionBy("key").orderBy(*order_inner)),
+    )
+    if inner_size is not None:
+        out = out.filter(F.col("_irank") <= inner_size)
+    cols = ["key", "doc_count", f"{inner_name}_key", icnt] + [
+        c for c in grouped.columns if c not in ("key", f"{inner_name}_key", icnt)
+    ]
+    return out.orderBy("_orank", "_irank").select(*cols)
+
+
 def aggs_to_df(df: DataFrame, aggs: dict[str, Any]) -> DataFrame:
-    """Translate an `aggs` object.  Exactly one bucket agg (with
-    optional metric sub-aggs) or a flat set of metric aggs."""
-    _BUCKET_KINDS = {"terms", "multi_terms", "histogram", "date_histogram", "filters"}
+    """Translate an `aggs` object.  Exactly one bucket agg per nesting
+    level (with optional metric sub-aggs; a terms bucket may instead
+    hold ONE nested bucket agg) or a flat set of metric aggs."""
     bucket_items = [(n, s) for n, s in aggs.items() if set(s) & _BUCKET_KINDS]
     if not bucket_items:
         return df.agg(*_sub_metric_exprs(aggs))
@@ -308,6 +384,20 @@ def aggs_to_df(df: DataFrame, aggs: dict[str, Any]) -> DataFrame:
     sub = {k: v for k, v in spec.items() if k == "aggs"}.get("aggs")
     kind = next(k for k in spec if k in _BUCKET_KINDS)
     body = spec[kind]
+    nested = [
+        (n, s) for n, s in (sub or {}).items() if set(s) & _BUCKET_KINDS
+    ]
+    if nested:
+        if kind != "terms" or len(nested) > 1:
+            raise ElasticDslError(
+                "nested buckets: exactly one, inside a terms bucket"
+            )
+        if len(sub) > 1:
+            raise ElasticDslError(
+                "metric sub-aggs beside a nested bucket unsupported "
+                "(put them on the inner level)"
+            )
+        return _nested_bucket_df(df, body, *nested[0])
     metrics = _sub_metric_exprs(sub)
 
     if kind == "multi_terms":

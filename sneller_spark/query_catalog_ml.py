@@ -1175,6 +1175,37 @@ def elastic_multi_terms_agg(spark, sf_dir):
 
 
 @register(
+    "elastic_nested_terms_agg",
+    """WITH g AS (SELECT event_type AS key, user_id AS by_user_key,
+                         COUNT(*) AS by_user_doc_count
+                  FROM events GROUP BY 1, 2),
+            t AS (SELECT *, CAST(SUM(by_user_doc_count) OVER (PARTITION BY key)
+                                 AS BIGINT) AS doc_count FROM g),
+            r AS (SELECT *,
+                         DENSE_RANK() OVER (ORDER BY doc_count DESC, key ASC)
+                           AS orank,
+                         ROW_NUMBER() OVER (PARTITION BY key
+                                            ORDER BY by_user_doc_count DESC,
+                                                     by_user_key ASC) AS irank
+                  FROM t)
+       SELECT key, doc_count, by_user_key, by_user_doc_count
+       FROM r WHERE orank <= 2 AND irank <= 3""",
+)
+def elastic_nested_terms_agg(spark, sf_dir):
+    """Nested bucket aggs (terms > terms — the reference proxy's
+    aggsGenerateContext nesting, aggs_terms.go): ONE groupBy over both
+    keys, outer doc_count as a window sum, both size caps as rank
+    filters over the aggregated result; flattened tabular buckets."""
+    from .adapters.elastic import elastic_search
+
+    body = {"aggs": {"by_type": {
+        "terms": {"field": "event_type", "size": 2},
+        "aggs": {"by_user": {"terms": {"field": "user_id", "size": 3}}},
+    }}}
+    return elastic_search(load(spark, sf_dir, "events"), body)
+
+
+@register(
     "elastic_filters_one_pass",
     """SELECT COUNT(CASE WHEN value >= 400 THEN 1 END) AS big_doc_count,
               ROUND(SUM(CASE WHEN value >= 400 THEN value END), 4) AS big_v,

@@ -236,6 +236,42 @@ def test_multi_terms_agg(ev):
         aggs_to_df(ev, {"mt": {"multi_terms": {"terms": []}}})
 
 
+def test_nested_terms_buckets(ev):
+    """terms > terms nesting (the reference proxy's aggs context
+    nesting): flattened rows, outer doc_count windowed over the inner
+    groupBy, both size caps applied, Elastic bucket order both levels."""
+    body = {"aggs": {"outer": {
+        "terms": {"field": "kind", "size": 2},
+        "aggs": {"by_tag": {"terms": {"field": "tag", "size": 1}}},
+    }}}
+    got = elastic_search(ev, body).toPandas()
+    assert list(got.columns) == ["key", "doc_count", "by_tag_key", "by_tag_doc_count"]
+    # outer: click(3) then the count-1 tie broken by key asc -> error
+    assert list(got["key"]) == ["click", "error"]
+    assert list(got["doc_count"]) == [3, 1]
+    # inner top-1 for click: three 1-count tags, NULL sorts first asc
+    assert got["by_tag_key"][0] is None and got["by_tag_key"][1] == "gamma"
+    assert list(got["by_tag_doc_count"]) == [1, 1]
+    # inner metric sub-aggs compute per (outer, inner) bucket
+    body2 = {"aggs": {"outer": {
+        "terms": {"field": "kind", "size": 1},
+        "aggs": {"by_tag": {
+            "terms": {"field": "tag", "size": 2},
+            "aggs": {"s": {"sum": {"field": "score"}}},
+        }},
+    }}}
+    got2 = elastic_search(ev, body2).toPandas()
+    assert list(got2["key"]) == ["click", "click"]
+    assert "s" in got2.columns
+    with pytest.raises(ElasticDslError):
+        aggs_to_df(ev, {"o": {"histogram": {"field": "score", "interval": 1},
+                              "aggs": {"i": {"terms": {"field": "kind"}}}}})
+    with pytest.raises(ElasticDslError):
+        aggs_to_df(ev, {"o": {"terms": {"field": "kind"},
+                              "aggs": {"i": {"terms": {"field": "tag"}},
+                                       "m": {"avg": {"field": "score"}}}}})
+
+
 def test_range_with_date_math(ev, spark):
     import datetime as dt
 
