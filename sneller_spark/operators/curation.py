@@ -163,3 +163,61 @@ def pack_sequences(
     return df.withColumn(
         "pack_bin", F.floor(prefix_excl / F.lit(budget)).cast("int")
     )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n\n",
+) -> DataFrame:
+    """Corpus-wide PARAGRAPH-level exact dedup — the sub-document
+    dedup step real pretraining pipelines run after doc-level dedup
+    (boilerplate headers/footers/license blocks repeat across
+    otherwise-unique pages): split every document on ``sep``, keep
+    only the globally FIRST occurrence of each distinct paragraph
+    (ordered by (id, paragraph position) — deterministic, resume-
+    safe), drop empty paragraphs, and reassemble each document from
+    its surviving paragraphs in original order.
+
+    Returns (id_col, text_col, kept_paras); documents whose every
+    paragraph was seen earlier come back with '' and kept_paras 0 so
+    a downstream filter can drop or flag them.
+
+    Scale shape: one explode, ONE shuffle keyed on the paragraph text
+    (the keep-first window), one groupBy on the doc id for
+    reassembly.  Paragraph-key skew (an empire of identical ''
+    boilerplate) is bounded because the window computes only
+    row_number over each key.  At 100 TB, hash the paragraph
+    (xxhash64) into the window key instead of the raw text to shrink
+    shuffle payloads — kept as raw text here so the DuckDB oracle can
+    reproduce it exactly."""
+    import re as _re
+
+    paras = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), _re.escape(sep))).alias(
+            "_pos", "_para"
+        ),
+    ).filter(F.length("_para") > 0)
+    w = Window.partitionBy("_para").orderBy(F.asc("_id"), F.asc("_pos"))
+    kept = paras.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") == 1
+    )
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("_pos", "_para"))),
+        lambda s: s["_para"],
+    )
+    agg = kept.groupBy("_id").agg(
+        F.array_join(ordered, sep).alias("_text"),
+        F.count(F.lit(1)).alias("_kept"),
+    )
+    return (
+        df.select(F.col(id_col).alias("_id"))
+        .join(agg, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("_text", F.lit("")).alias(text_col),
+            F.coalesce("_kept", F.lit(0)).alias("kept_paras"),
+        )
+    )

@@ -140,3 +140,71 @@ def unigram_logprob_score(
         )
         .select(F.col("id").alias(id_col), "mean_logprob", "n_words")
     )
+
+
+def repetition_metrics(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Within-document repetition metrics — the Gopher-style quality
+    signals (duplicate-word fraction, most-frequent-word share,
+    distinct ratio) used to cut boilerplate and degenerate generations
+    from pretraining corpora.
+
+    Everything is a row-local higher-order function over the word
+    array (split/size/array_distinct/filter/aggregate): per-document
+    metrics need NO shuffle at all — the 100 TB shape is a pure map
+    stage that scales with partition count.  top_word_frac scans
+    distinct x occurrences per row (O(n·d) on words of one document),
+    which is bounded by document length, not corpus size."""
+    words = F.split(F.col(text_col), r"\s+")
+    n = F.size(words)
+    nd = F.size(F.array_distinct(words))
+    top_cnt = F.aggregate(
+        F.array_distinct(words),
+        F.lit(0),
+        lambda acc, w: F.greatest(
+            acc, F.size(F.filter(words, lambda x: x == w))
+        ),
+    )
+    return df.select(
+        F.col(id_col),
+        n.alias("n_words"),
+        F.round((n - nd) / n, round_digits).alias("dup_word_frac"),
+        F.round(top_cnt / n, round_digits).alias("top_word_frac"),
+        F.round(nd / n, round_digits).alias("distinct_ratio"),
+    )
+
+
+def token_ngram_topk(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    n: int = 3,
+    k: int = 20,
+) -> DataFrame:
+    """Top-k most frequent token n-grams across a corpus of
+    pre-tokenized sequences — the token-level twin of the text
+    shingle operators (contamination probes, boilerplate discovery,
+    and n-gram novelty stats all start here).
+
+    The n-gram windows are generated row-locally with
+    transform(sequence(...)) + slice — a pure JVM map, no Python —
+    then ONE hash aggregation on the gram key.  Sequences shorter
+    than ``n`` contribute nothing (filtered up front: F.sequence
+    would count backwards on a negative stop).  Count-desc with
+    lexicographic gram tiebreak keeps the top-k deterministic."""
+    toks = F.col(tokens_col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.slice(toks, i, n),
+    )
+    return (
+        df.filter(F.size(toks) >= n)
+        .select(F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("gram"))
+        .limit(k)
+    )

@@ -1330,3 +1330,100 @@ def bucketed_partitionwise_agg(spark, sf_dir):
         F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
     )
     return agg.select(F.col("l_returnflag").alias("flag"), "n", "sum_qty")
+
+
+@register(
+    "curation_paragraph_dedup",
+    """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 200
+                     UNION ALL
+                     SELECT doc_id + 100000, text FROM documents WHERE doc_id < 20),
+            docs AS (SELECT doc_id, text || chr(10) || chr(10) || text AS text
+                     FROM base),
+            p AS (SELECT doc_id, i, parts[i] AS para
+                  FROM (SELECT doc_id,
+                               string_split(text, chr(10) || chr(10)) AS parts
+                        FROM docs),
+                       LATERAL unnest(generate_series(1, len(parts))) AS t(i)
+                  WHERE parts[i] <> ''),
+            keep AS (SELECT doc_id, i, para,
+                            ROW_NUMBER() OVER (PARTITION BY para
+                                               ORDER BY doc_id, i) AS rn
+                     FROM p),
+            agg AS (SELECT doc_id,
+                           string_agg(para, chr(10) || chr(10) ORDER BY i) AS text,
+                           COUNT(*) AS kept_paras
+                    FROM keep WHERE rn = 1 GROUP BY doc_id)
+       SELECT d.doc_id, COALESCE(a.text, '') AS text,
+              CAST(COALESCE(a.kept_paras, 0) AS BIGINT) AS kept_paras
+       FROM docs d LEFT JOIN agg a USING (doc_id)""",
+)
+def curation_paragraph_dedup(spark, sf_dir):
+    """Paragraph-level exact dedup (operators/curation.paragraph_dedup):
+    every input doc here carries TWO identical paragraphs (text twice)
+    and the first 20 docs are additionally duplicated wholesale, so the
+    entry exercises both within-doc and cross-doc paragraph removal —
+    unique docs keep exactly one paragraph, duplicated docs come back
+    empty.  One paragraph-key shuffle + one doc-id groupBy."""
+    from .operators.curation import paragraph_dedup
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    base = d.filter(F.col("doc_id") < 200).unionByName(
+        d.filter(F.col("doc_id") < 20).withColumn(
+            "doc_id", F.col("doc_id") + F.lit(100000)
+        )
+    )
+    two_para = base.select(
+        "doc_id", F.concat_ws("\n\n", "text", "text").alias("text")
+    )
+    return paragraph_dedup(two_para)
+
+
+@register(
+    "text_repetition_metrics",
+    """SELECT doc_id,
+              CAST(len(w) AS BIGINT) AS n_words,
+              ROUND((len(w) - len(list_distinct(w))) / CAST(len(w) AS DOUBLE), 4)
+                AS dup_word_frac,
+              ROUND(list_max(list_transform(list_distinct(w),
+                        u -> len(list_filter(w, x -> x = u))))
+                    / CAST(len(w) AS DOUBLE), 4) AS top_word_frac,
+              ROUND(len(list_distinct(w)) / CAST(len(w) AS DOUBLE), 4)
+                AS distinct_ratio
+       FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS w
+             FROM documents WHERE doc_id < 300)""",
+)
+def text_repetition_metrics(spark, sf_dir):
+    """Gopher-style within-document repetition signals
+    (operators/text.repetition_metrics): duplicate-word fraction,
+    most-frequent-word share, distinct ratio — all row-local
+    higher-order functions, a pure map stage with no shuffle."""
+    from .operators.text import repetition_metrics
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return repetition_metrics(d)
+
+
+@register(
+    "tokens_ngram_topk",
+    f"""WITH t AS (SELECT tokens
+                   FROM read_parquet('{_FLAGSHIP_DIR}/input.parquet')),
+             g AS (SELECT tokens[i:i+2] AS gram
+                   FROM t,
+                        LATERAL unnest(generate_series(1, len(tokens) - 2)) AS s(i)
+                   WHERE len(tokens) >= 3)
+        SELECT gram, COUNT(*) AS n
+        FROM g GROUP BY gram
+        ORDER BY n DESC, gram ASC LIMIT 20""",
+)
+def tokens_ngram_topk(spark, sf_dir):
+    """Top-20 token 3-grams over the pre-tokenized flagship table
+    (operators/text.token_ngram_topk) — the token-payload twin of the
+    text shingle ops: contamination probes and boilerplate discovery
+    over `tokens:array<int32>` without ever detokenizing.  Row-local
+    transform(sequence)+slice n-gram generation, one hash aggregation
+    on the gram, deterministic count/lexicographic order."""
+    from .operators.text import token_ngram_topk
+
+    d = _ensure_flagship_inputs()
+    df = spark.read.parquet(f"{d}/input.parquet")
+    return token_ngram_topk(df, n=3, k=20)

@@ -103,6 +103,48 @@ def test_decontaminate_broadcast_guard(spark):
     assert decontaminate(train, bench, shingle_k=5).count() == 1
 
 
+def test_paragraph_dedup_within_and_across_docs(spark):
+    """Within-doc repeats collapse to the first occurrence; a later doc
+    made entirely of already-seen paragraphs comes back empty; order of
+    surviving paragraphs is preserved."""
+    from sneller_spark.operators.curation import paragraph_dedup
+
+    rows = [
+        (1, "alpha\n\nbeta\n\nalpha"),        # within-doc repeat of alpha
+        (2, "beta\n\ngamma"),                 # beta already seen in doc 1
+        (3, "alpha\n\nbeta"),                 # everything already seen
+        (4, "delta"),
+    ]
+    got = (
+        paragraph_dedup(spark.createDataFrame(rows, ["doc_id", "text"]))
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert got.loc[1, "text"] == "alpha\n\nbeta" and got.loc[1, "kept_paras"] == 2
+    assert got.loc[2, "text"] == "gamma" and got.loc[2, "kept_paras"] == 1
+    assert got.loc[3, "text"] == "" and got.loc[3, "kept_paras"] == 0
+    assert got.loc[4, "text"] == "delta"
+    # total surviving paragraphs == number of distinct paragraphs
+    assert int(got["kept_paras"].sum()) == 4
+
+
+def test_paragraph_dedup_custom_separator_and_empties(spark):
+    from sneller_spark.operators.curation import paragraph_dedup
+
+    rows = [(1, "a||b||"), (2, "b||c")]
+    got = (
+        paragraph_dedup(
+            spark.createDataFrame(rows, ["doc_id", "text"]), sep="||"
+        )
+        .toPandas()
+        .set_index("doc_id")
+    )
+    # trailing separator yields an empty paragraph -> dropped, not kept
+    assert got.loc[1, "text"] == "a||b"
+    assert got.loc[2, "text"] == "c"
+
+
 def test_pack_sequences_prefix_sum_bins(spark):
     rows = [(i, "s0", 600) for i in range(10)]  # 600*10 = 6000 tokens
     df = spark.createDataFrame(rows, ["doc_id", "source", "n_tok"])

@@ -528,6 +528,52 @@ def test_dedup_near_keep_rows_end_to_end(spark, docs_df):
     assert set(got.columns) == {"doc_id", "text"}
 
 
+def test_repetition_metrics_exact(spark):
+    """Hand-computed Gopher-style repetition signals; plan stays a pure
+    map (no Exchange) because every metric is row-local."""
+    from sneller_spark.operators.text import repetition_metrics
+    from sneller_spark.plans import assert_no_exchange
+
+    rows = [
+        (1, "a a a b"),       # n=4 nd=2 top=3
+        (2, "x y z"),         # no repetition
+        (3, "w w w w"),       # fully degenerate
+    ]
+    out = repetition_metrics(spark.createDataFrame(rows, ["doc_id", "text"]))
+    assert_no_exchange(out)
+    got = out.toPandas().set_index("doc_id").sort_index()
+    assert got.loc[1].tolist() == [4, 0.5, 0.75, 0.5]
+    assert got.loc[2].tolist() == [3, 0.0, round(1 / 3, 4), 1.0]
+    assert got.loc[3].tolist() == [4, 0.75, 1.0, 0.25]
+
+
+def test_token_ngram_topk_exact(spark):
+    """3-gram counts over token arrays vs a python recount; sequences
+    shorter than n contribute nothing."""
+    from collections import Counter
+
+    from sneller_spark.operators.text import token_ngram_topk
+
+    rows = [
+        (1, [1, 2, 3, 1, 2, 3]),
+        (2, [1, 2, 3]),
+        (3, [9, 9]),          # too short for a 3-gram
+        (4, [2, 3, 1]),
+    ]
+    got = token_ngram_topk(
+        spark.createDataFrame(rows, ["doc_id", "tokens"]), n=3, k=10
+    ).toPandas()
+    expect = Counter()
+    for _, toks in rows:
+        for i in range(len(toks) - 2):
+            expect[tuple(toks[i:i + 3])] += 1
+    got_counts = {tuple(g): int(c) for g, c in zip(got["gram"], got["n"])}
+    assert got_counts == dict(expect)
+    # deterministic order: count desc, then lexicographic gram
+    pairs = list(zip(got["n"], [tuple(g) for g in got["gram"]]))
+    assert pairs == sorted(pairs, key=lambda p: (-p[0], p[1]))
+
+
 def test_unigram_logprob_matches_python(spark, docs_df):
     """Smoothed corpus-unigram mean log-prob vs a plain python model."""
     import math

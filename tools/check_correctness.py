@@ -38,6 +38,10 @@ def _canon(pdf: pd.DataFrame) -> list[tuple]:
                 canon.append(None)
             elif isinstance(v, float):
                 canon.append(round(v, 9))
+            elif isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+                canon.append(tuple(
+                    x.item() if hasattr(x, "item") else x for x in v
+                ))
             elif hasattr(v, "item"):
                 canon.append(v.item())
             else:
