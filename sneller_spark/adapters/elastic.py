@@ -21,20 +21,28 @@ Supported (mirroring elasticproxy's documented surface):
   aggs:   metric — avg, sum, min, max, value_count, cardinality
           (exact by default so results are oracle-checkable;
           approximate HLL when `precision_threshold` is given, like
-          Elastic), stats, percentiles (exact);
+          Elastic), stats, percentiles (exact), geo_centroid
+          (aggs_geo_centroid.go; flattened lat/lon columns);
           bucket — terms (size, deterministic doc-count-desc/key-asc
           order), multi_terms (composite keys, _count/_key order;
           aggs_multi_terms.go), histogram (interval), date_histogram
           (calendar_interval hour/day/month/year), filters (named
-          predicates -> FILTER-clause aggregates, single pass)
+          predicates -> FILTER-clause aggregates, single pass),
+          filter (single named filter bucket, aggs_filter.go),
+          geotile_grid (GEO_TILE_ES key + bounds pre-filter,
+          aggs_geotile_grid.go);
+          pipeline — bucket_script (params.x <op> params.y over
+          sibling metrics, aggs_bucket_script.go) and bucket_sort
+          (aggs_bucket_sort.go), both plan rewrites over the finished
+          bucket set
   nesting: a terms bucket may hold ONE nested bucket agg (terms/
           histogram/date_histogram, + inner metric sub-aggs) — the
           proxy's aggsGenerateContext nesting, flattened to one row
           per (outer, inner) bucket in a single groupBy pass
   top level: query + aggs, or query + sort/size/_source (hits)
 
-Unsupported, like the reference proxy: pipeline aggs, scoring,
-full-text analysis chains; nesting deeper than two bucket levels.
+Unsupported, like the reference proxy: top_hits, scoring, full-text
+analysis chains; nesting deeper than two bucket levels.
 """
 
 from __future__ import annotations
@@ -277,6 +285,14 @@ def _metric_exprs(
             )
             for p in pcts
         ]
+    if kind == "geo_centroid":
+        # aggs_geo_centroid.go: {lat: AVG(field.lat), lon: AVG(field.lon)}
+        # — flattened to two columns so tabular results stay oracle-checkable
+        lat = F.col(f"{field}.lat")
+        lon = F.col(f"{field}.lon")
+        if pred is not None:
+            lat, lon = F.when(pred, lat), F.when(pred, lon)
+        return [F.avg(lat).alias(f"{name}_lat"), F.avg(lon).alias(f"{name}_lon")]
     raise ElasticDslError(f"unsupported metric agg {kind!r}")
 
 
@@ -299,7 +315,66 @@ _CAL_INTERVALS = {
 }
 
 
-_BUCKET_KINDS = {"terms", "multi_terms", "histogram", "date_histogram", "filters"}
+_BUCKET_KINDS = {
+    "terms", "multi_terms", "histogram", "date_histogram", "filters",
+    "filter", "geotile_grid",
+}
+_PIPELINE_KINDS = {"bucket_script", "bucket_sort"}
+
+
+def _apply_pipeline_aggs(out: DataFrame, pipeline: dict[str, Any]) -> DataFrame:
+    """Pipeline aggs over already-computed buckets (reference:
+    aggs_bucket_script.go / aggs_bucket_sort.go — both operate on the
+    finished bucket set, never on raw rows).  bucket_script computes a
+    derived per-bucket column `params.X <op> params.Y` over sibling
+    metric columns (the reference supports only '+'; this accepts
+    + - * /); bucket_sort re-sorts the buckets by sub-agg values and
+    truncates to `size`.  Both are driver-side plan rewrites — a
+    projection and an orderBy/limit over the (small) aggregated
+    DataFrame, no extra scan."""
+    import re as _re
+
+    _OPS = {
+        "+": lambda a, b: a + b,
+        "-": lambda a, b: a - b,
+        "*": lambda a, b: a * b,
+        "/": lambda a, b: a / b,
+    }
+    for name, spec in pipeline.items():
+        if "bucket_script" in spec:
+            body = spec["bucket_script"]
+            m = _re.fullmatch(
+                r"params\.(\w+)\s*([+\-*/])\s*params\.(\w+)",
+                body.get("script", ""),
+            )
+            if m is None:
+                raise ElasticDslError(
+                    f"unsupported bucket_script {body.get('script')!r} "
+                    "(form: params.x <op> params.y)"
+                )
+            paths = body.get("buckets_path", {})
+            try:
+                left, right = paths[m.group(1)], paths[m.group(3)]
+            except KeyError as e:
+                raise ElasticDslError(
+                    f"bucket_script param {e} missing from buckets_path"
+                ) from None
+            out = out.withColumn(
+                name, _OPS[m.group(2)](F.col(left), F.col(right))
+            )
+    for name, spec in pipeline.items():
+        if "bucket_sort" in spec:
+            body = spec["bucket_sort"]
+            exprs: list[Column] = []
+            for s in body.get("sort", []):
+                (fld, o), = s.items() if isinstance(s, dict) else ((s, "asc"),)
+                order = o.get("order", "asc") if isinstance(o, dict) else o
+                exprs.append(F.desc(fld) if order == "desc" else F.asc(fld))
+            if exprs:
+                out = out.orderBy(*exprs)
+            if body.get("size"):
+                out = out.limit(int(body["size"]))
+    return out
 
 
 def _bucket_key_col(kind: str, body: dict[str, Any], alias: str) -> Column:
@@ -398,7 +473,15 @@ def aggs_to_df(df: DataFrame, aggs: dict[str, Any]) -> DataFrame:
                 "(put them on the inner level)"
             )
         return _nested_bucket_df(df, body, *nested[0])
+    pipeline = {
+        n: s for n, s in (sub or {}).items() if set(s) & _PIPELINE_KINDS
+    }
+    if pipeline:
+        sub = {n: s for n, s in sub.items() if n not in pipeline} or None
     metrics = _sub_metric_exprs(sub)
+
+    def _finish(out: DataFrame) -> DataFrame:
+        return _apply_pipeline_aggs(out, pipeline) if pipeline else out
 
     if kind == "multi_terms":
         # composite-key terms buckets (reference:
@@ -429,25 +512,29 @@ def aggs_to_df(df: DataFrame, aggs: dict[str, Any]) -> DataFrame:
         # deterministic tiebreak on the keys (Elastic buckets are
         # key-ordered within equal counts)
         sort_exprs.extend(F.asc(f"key_{i}") for i in range(len(fields)))
-        return out.orderBy(*sort_exprs).limit(size)
+        return _finish(out.orderBy(*sort_exprs).limit(size))
     if kind == "terms":
         size = int(body.get("size", 10))
         out = df.groupBy(F.col(body["field"]).alias("key")).agg(
             F.count(F.lit(1)).alias("doc_count"), *metrics
         )
         # Elastic order: doc_count desc, key asc (deterministic)
-        return out.orderBy(F.desc("doc_count"), F.asc("key")).limit(size)
+        return _finish(out.orderBy(F.desc("doc_count"), F.asc("key")).limit(size))
     if kind == "histogram":
         interval = float(body["interval"])
         key = (F.floor(F.col(body["field"]) / interval) * interval).alias("key")
-        return df.groupBy(key).agg(F.count(F.lit(1)).alias("doc_count"), *metrics)
+        return _finish(
+            df.groupBy(key).agg(F.count(F.lit(1)).alias("doc_count"), *metrics)
+        )
     if kind == "date_histogram":
         iv = body.get("calendar_interval") or body.get("fixed_interval")
         unit = _CAL_INTERVALS.get(iv)
         if unit is None:
             raise ElasticDslError(f"unsupported date_histogram interval {iv!r}")
         key = F.date_trunc(unit, F.col(body["field"])).alias("key")
-        return df.groupBy(key).agg(F.count(F.lit(1)).alias("doc_count"), *metrics)
+        return _finish(
+            df.groupBy(key).agg(F.count(F.lit(1)).alias("doc_count"), *metrics)
+        )
     if kind == "filters":
         # named predicate buckets -> conditional aggregates, ONE scan
         exprs: list[Column] = []
@@ -455,7 +542,45 @@ def aggs_to_df(df: DataFrame, aggs: dict[str, Any]) -> DataFrame:
             pred = query_to_column(bq)
             exprs.append(F.count(F.when(pred, 1)).alias(f"{bname}_doc_count"))
             exprs.extend(_sub_metric_exprs(sub, pred, prefix=f"{bname}_"))
-        return df.agg(*exprs)
+        return _finish(df.agg(*exprs))
+    if kind == "filter":
+        # SINGLE named filter bucket (aggs_filter.go): doc_count over
+        # matching rows + sub-aggs restricted to them — conditional
+        # aggregates, one scan, same discipline as `filters`
+        pred = query_to_column(body)
+        return _finish(
+            df.agg(
+                F.count(F.when(pred, 1)).alias("doc_count"),
+                *_sub_metric_exprs(sub, pred),
+            )
+        )
+    if kind == "geotile_grid":
+        # aggs_geotile_grid.go: GROUP BY GEO_TILE_ES(field.lat,
+        # field.lon, precision), optional bounds pre-filter, doc-count
+        # desc order with deterministic key tiebreak, size cap
+        from ..functions.scalar import geo_tile_es
+
+        precision = int(body.get("precision", 7))
+        if not 0 <= precision <= 29:
+            raise ElasticDslError(f"invalid geotile precision {precision}")
+        field = body["field"]
+        lat, lon = F.col(f"{field}.lat"), F.col(f"{field}.lon")
+        src_df = df
+        if "bounds" in body:
+            b = body["bounds"]
+            src_df = df.filter(
+                (lat <= F.lit(b["top_left"]["lat"]))
+                & (lon >= F.lit(b["top_left"]["lon"]))
+                & (lat >= F.lit(b["bottom_right"]["lat"]))
+                & (lon <= F.lit(b["bottom_right"]["lon"]))
+            )
+        out = src_df.groupBy(
+            geo_tile_es(lat, lon, precision).alias("key")
+        ).agg(F.count(F.lit(1)).alias("doc_count"), *metrics)
+        size = int(body.get("size", 10000))
+        return _finish(
+            out.orderBy(F.desc("doc_count"), F.asc("key")).limit(size)
+        )
     raise ElasticDslError(f"unsupported bucket agg {kind!r}")
 
 

@@ -1427,3 +1427,96 @@ def tokens_ngram_topk(spark, sf_dir):
     d = _ensure_flagship_inputs()
     df = spark.read.parquet(f"{d}/input.parquet")
     return token_ngram_topk(df, n=3, k=20)
+
+
+@register(
+    "elastic_filter_single_bucket",
+    """SELECT COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS doc_count,
+              ROUND(SUM(CASE WHEN event_type = 'click' THEN value END), 4) AS s,
+              ROUND(AVG(CASE WHEN event_type = 'click' THEN value END), 4) AS a
+       FROM events""",
+)
+def elastic_filter_single_bucket(spark, sf_dir):
+    """Single named filter bucket (aggs_filter.go): doc_count + sum/avg
+    sub-aggs over matching rows as conditional aggregates in one scan."""
+    from .adapters.elastic import elastic_search
+
+    body = {"aggs": {"clicks": {
+        "filter": {"term": {"event_type": "click"}},
+        "aggs": {"s": {"sum": {"field": "value"}},
+                 "a": {"avg": {"field": "value"}}},
+    }}}
+    out = elastic_search(load(spark, sf_dir, "events"), body)
+    return out.select(
+        "doc_count", F.round("s", 4).alias("s"), F.round("a", 4).alias("a")
+    )
+
+
+@register(
+    "elastic_geotile_grid",
+    """WITH pts AS (SELECT (event_id % 16000) / 100.0 - 80.0 AS lat,
+                           ((event_id * 7) % 36000) / 100.0 - 180.0 AS lon
+                    FROM events WHERE event_id < 4000),
+            t AS (SELECT '4/'
+                    || CAST(CAST(floor((lon + 180.0) / 360.0 * 16) AS BIGINT) AS VARCHAR)
+                    || '/'
+                    || CAST(CAST(floor((1.0 - ln(tan(lat * pi() / 180.0)
+                            + 1.0 / cos(lat * pi() / 180.0)) / pi()) / 2.0 * 16)
+                            AS BIGINT) AS VARCHAR) AS key
+                  FROM pts)
+       SELECT key, COUNT(*) AS doc_count FROM t GROUP BY key
+       ORDER BY doc_count DESC, key ASC LIMIT 15""",
+)
+def elastic_geotile_grid(spark, sf_dir):
+    """geotile_grid bucket agg (aggs_geotile_grid.go): GROUP BY
+    GEO_TILE_ES('z/x/y') at precision 4 over synthetic coordinates
+    (the testdata carries no geo columns; both engines derive the same
+    web-mercator tile), count-desc Elastic order, size cap."""
+    from .adapters.elastic import elastic_search
+
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 4000)
+    lat = (F.col("event_id") % 16000) / 100.0 - 80.0
+    lon = ((F.col("event_id") * 7) % 36000) / 100.0 - 180.0
+    pts = ev.select(F.struct(lat.alias("lat"), lon.alias("lon")).alias("loc"))
+    body = {"aggs": {"grid": {
+        "geotile_grid": {"field": "loc", "precision": 4, "size": 15},
+    }}}
+    return elastic_search(pts, body)
+
+
+@register(
+    "elastic_bucket_script_sort",
+    """WITH b AS (SELECT event_type AS key, COUNT(*) AS doc_count,
+                         SUM(value) AS total,
+                         COUNT(value) AS n
+                  FROM events GROUP BY 1
+                  ORDER BY doc_count DESC, key ASC LIMIT 10)
+       SELECT key, doc_count, ROUND(total, 4) AS total, n,
+              ROUND(total / n, 4) AS per_doc
+       FROM b ORDER BY total / n DESC LIMIT 3""",
+)
+def elastic_bucket_script_sort(spark, sf_dir):
+    """Pipeline aggs (aggs_bucket_script.go / aggs_bucket_sort.go):
+    bucket_script derives per-bucket total/n over sibling metrics,
+    bucket_sort reorders the finished buckets by it and truncates —
+    pure plan rewrites over the aggregated result, no extra scan."""
+    from .adapters.elastic import elastic_search
+
+    body = {"aggs": {"by_type": {
+        "terms": {"field": "event_type", "size": 10},
+        "aggs": {
+            "total": {"sum": {"field": "value"}},
+            "n": {"value_count": {"field": "value"}},
+            "per_doc": {"bucket_script": {
+                "buckets_path": {"a": "total", "b": "n"},
+                "script": "params.a / params.b",
+            }},
+            "top": {"bucket_sort": {"sort": [{"per_doc": {"order": "desc"}}],
+                                    "size": 3}},
+        },
+    }}}
+    out = elastic_search(load(spark, sf_dir, "events"), body)
+    return out.select(
+        "key", "doc_count", F.round("total", 4).alias("total"), "n",
+        F.round("per_doc", 4).alias("per_doc"),
+    )

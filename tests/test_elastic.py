@@ -272,6 +272,91 @@ def test_nested_terms_buckets(ev):
                                        "m": {"avg": {"field": "score"}}}}})
 
 
+def test_filter_single_bucket(ev):
+    """filter (singular, aggs_filter.go): one named filter bucket —
+    doc_count + sub-aggs over matching rows, conditional aggregates in
+    ONE scan."""
+    body = {"aggs": {"clicks": {
+        "filter": {"term": {"kind": "click"}},
+        "aggs": {"s": {"sum": {"field": "score"}}},
+    }}}
+    row = elastic_search(ev, body).collect()[0]
+    assert row["doc_count"] == 3
+    assert abs(row["s"] - 155.5) < 1e-9
+
+
+def test_geo_centroid_metric(spark):
+    """geo_centroid (aggs_geo_centroid.go): avg lat/lon per bucket,
+    flattened to <name>_lat/<name>_lon columns."""
+    rows = [
+        ("a", (10.0, 20.0)), ("a", (30.0, 40.0)), ("b", (-10.0, 0.0)),
+    ]
+    df = spark.createDataFrame(rows, ["g", "loc"]).selectExpr(
+        "g", "named_struct('lat', loc._1, 'lon', loc._2) AS loc"
+    )
+    body = {"aggs": {"by_g": {
+        "terms": {"field": "g", "size": 5},
+        "aggs": {"c": {"geo_centroid": {"field": "loc"}}},
+    }}}
+    got = elastic_search(df, body).toPandas().set_index("key")
+    assert got.loc["a", "c_lat"] == 20.0 and got.loc["a", "c_lon"] == 30.0
+    assert got.loc["b", "c_lat"] == -10.0 and got.loc["b", "c_lon"] == 0.0
+
+
+def test_geotile_grid_buckets(spark):
+    """geotile_grid (aggs_geotile_grid.go): GEO_TILE_ES bucket keys at
+    the requested precision, bounds pre-filter, count-desc order."""
+    rows = [
+        (1, 40.0, -74.0), (2, 40.1, -74.1), (3, -33.9, 151.2), (4, 85.0, 0.0),
+    ]
+    df = spark.createDataFrame(rows, ["id", "lat", "lon"]).selectExpr(
+        "id", "named_struct('lat', lat, 'lon', lon) AS loc"
+    )
+    body = {"aggs": {"g": {"geotile_grid": {"field": "loc", "precision": 2}}}}
+    got = elastic_search(df, body).toPandas()
+    # zoom 2: NYC pair shares tile 2/1/1; Sydney 2/3/2; lat 85 -> y 0
+    counts = dict(zip(got["key"], got["doc_count"]))
+    assert counts["2/1/1"] == 2 and counts["2/3/2"] == 1
+    assert got["doc_count"].iloc[0] == 2  # count-desc order
+    # bounds pre-filter keeps only the northern-west quadrant pair
+    body2 = {"aggs": {"g": {"geotile_grid": {
+        "field": "loc", "precision": 2,
+        "bounds": {"top_left": {"lat": 50.0, "lon": -80.0},
+                   "bottom_right": {"lat": 30.0, "lon": -70.0}},
+    }}}}
+    got2 = elastic_search(df, body2).toPandas()
+    assert dict(zip(got2["key"], got2["doc_count"])) == {"2/1/1": 2}
+    with pytest.raises(ElasticDslError):
+        aggs_to_df(df, {"g": {"geotile_grid": {"field": "loc", "precision": 31}}})
+
+
+def test_bucket_script_and_sort(ev):
+    """Pipeline aggs over finished buckets: bucket_script derives a
+    per-bucket column from sibling metrics; bucket_sort reorders and
+    truncates the bucket set."""
+    body = {"aggs": {"by_kind": {
+        "terms": {"field": "kind", "size": 10},
+        "aggs": {
+            "total": {"sum": {"field": "score"}},
+            "n": {"value_count": {"field": "score"}},
+            "per_doc": {"bucket_script": {
+                "buckets_path": {"a": "total", "b": "n"},
+                "script": "params.a / params.b",
+            }},
+            "top2": {"bucket_sort": {"sort": [{"per_doc": {"order": "desc"}}],
+                                     "size": 2}},
+        },
+    }}}
+    got = elastic_search(ev, body).toPandas()
+    # per_doc: error 400/1=400, view 55.5/1, signup 7.25/1, click 155.5/3
+    assert list(got["key"]) == ["error", "view"]
+    assert abs(got["per_doc"].iloc[0] - 400.0) < 1e-9
+    with pytest.raises(ElasticDslError):
+        aggs_to_df(ev, {"b": {"terms": {"field": "kind"},
+                              "aggs": {"x": {"bucket_script": {
+                                  "buckets_path": {}, "script": "doom()"}}}}})
+
+
 def test_range_with_date_math(ev, spark):
     import datetime as dt
 
