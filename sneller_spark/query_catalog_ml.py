@@ -1407,13 +1407,13 @@ def text_repetition_metrics(spark, sf_dir):
     "tokens_ngram_topk",
     f"""WITH t AS (SELECT tokens
                    FROM read_parquet('{_FLAGSHIP_DIR}/input.parquet')),
-             g AS (SELECT tokens[i:i+2] AS gram
+             g AS (SELECT tokens[i] AS t0, tokens[i+1] AS t1, tokens[i+2] AS t2
                    FROM t,
                         LATERAL unnest(generate_series(1, len(tokens) - 2)) AS s(i)
                    WHERE len(tokens) >= 3)
-        SELECT gram, COUNT(*) AS n
-        FROM g GROUP BY gram
-        ORDER BY n DESC, gram ASC LIMIT 20""",
+        SELECT t0, t1, t2, COUNT(*) AS n
+        FROM g GROUP BY t0, t1, t2
+        ORDER BY n DESC, t0 ASC, t1 ASC, t2 ASC LIMIT 20""",
 )
 def tokens_ngram_topk(spark, sf_dir):
     """Top-20 token 3-grams over the pre-tokenized flagship table
@@ -1426,7 +1426,14 @@ def tokens_ngram_topk(spark, sf_dir):
 
     d = _ensure_flagship_inputs()
     df = spark.read.parquet(f"{d}/input.parquet")
-    return token_ngram_topk(df, n=3, k=20)
+    out = token_ngram_topk(df, n=3, k=20)
+    # driver compare wants scalar columns: unpack the 3-gram
+    return out.select(
+        F.col("gram")[0].alias("t0"),
+        F.col("gram")[1].alias("t1"),
+        F.col("gram")[2].alias("t2"),
+        "n",
+    )
 
 
 @register(
