@@ -38,11 +38,13 @@ Supported (mirroring elasticproxy's documented surface):
   nesting: a terms bucket may hold ONE nested bucket agg (terms/
           histogram/date_histogram, + inner metric sub-aggs) — the
           proxy's aggsGenerateContext nesting, flattened to one row
-          per (outer, inner) bucket in a single groupBy pass
+          per (outer, inner) bucket in a single groupBy pass — or ONE
+          top_hits sub-agg (aggs_top_hits.go: per-bucket top-N raw
+          rows via a partitioned row_number window)
   top level: query + aggs, or query + sort/size/_source (hits)
 
-Unsupported, like the reference proxy: top_hits, scoring, full-text
-analysis chains; nesting deeper than two bucket levels.
+Unsupported, like the reference proxy: scoring, full-text analysis
+chains; nesting deeper than two bucket levels.
 """
 
 from __future__ import annotations
@@ -446,6 +448,52 @@ def _nested_bucket_df(
     return out.orderBy("_orank", "_irank").select(*cols)
 
 
+def _top_hits_df(
+    df: DataFrame,
+    outer_body: dict[str, Any],
+    name: str,
+    spec: dict[str, Any],
+) -> DataFrame:
+    """top_hits sub-agg of a terms bucket (aggs_top_hits.go): the
+    reference compiles it to ROW_NUMBER() OVER (PARTITION BY the group
+    keys ORDER BY the sort fields) with a rank cutoff and the _source
+    projection — the same window this produces.  (The reference's
+    cutoff is `row_number < size`, which drops the size-th hit; Elastic
+    returns `size` hits, so this uses <= — divergence documented.)
+
+    Flattened rows: (key, doc_count, hit_rank, <included columns>),
+    outer buckets capped and ordered the Elastic way.  One window over
+    the raw rows + one window pair over bucket stats; no self-join."""
+    from pyspark.sql import Window
+
+    size = int(spec.get("size", 3))
+    sort_exprs: list[Column] = []
+    for s in spec.get("sort", []):
+        (fld, o), = s.items() if isinstance(s, dict) else ((s, "asc"),)
+        order = o.get("order", "asc") if isinstance(o, dict) else o
+        sort_exprs.append(F.desc(fld) if order == "desc" else F.asc(fld))
+    if not sort_exprs:
+        raise ElasticDslError("top_hits needs a sort (hits have no score here)")
+    includes = (spec.get("_source") or {}).get("includes") or [
+        c for c in df.columns if c != outer_body["field"]
+    ]
+    okey = F.col(outer_body["field"]).alias("key")
+    base = df.select(okey, *[F.col(c) for c in includes])
+    base = base.withColumn(
+        "doc_count", F.count(F.lit(1)).over(Window.partitionBy("key"))
+    ).withColumn(
+        "hit_rank",
+        F.row_number().over(Window.partitionBy("key").orderBy(*sort_exprs)),
+    ).filter(F.col("hit_rank") <= size)
+    base = base.withColumn(
+        "_orank",
+        F.dense_rank().over(Window.orderBy(F.desc("doc_count"), F.asc("key"))),
+    ).filter(F.col("_orank") <= int(outer_body.get("size", 10)))
+    return base.orderBy("_orank", "hit_rank").select(
+        "key", "doc_count", "hit_rank", *includes
+    )
+
+
 def aggs_to_df(df: DataFrame, aggs: dict[str, Any]) -> DataFrame:
     """Translate an `aggs` object.  Exactly one bucket agg per nesting
     level (with optional metric sub-aggs; a terms bucket may instead
@@ -473,6 +521,13 @@ def aggs_to_df(df: DataFrame, aggs: dict[str, Any]) -> DataFrame:
                 "(put them on the inner level)"
             )
         return _nested_bucket_df(df, body, *nested[0])
+    hits = [(n, s["top_hits"]) for n, s in (sub or {}).items() if "top_hits" in s]
+    if hits:
+        if kind != "terms" or len(hits) > 1 or len(sub) > 1:
+            raise ElasticDslError(
+                "top_hits: exactly one, as the only sub-agg of a terms bucket"
+            )
+        return _top_hits_df(df, body, *hits[0])
     pipeline = {
         n: s for n, s in (sub or {}).items() if set(s) & _PIPELINE_KINDS
     }

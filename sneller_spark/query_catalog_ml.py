@@ -1527,3 +1527,39 @@ def elastic_bucket_script_sort(spark, sf_dir):
         "key", "doc_count", F.round("total", 4).alias("total"), "n",
         F.round("per_doc", 4).alias("per_doc"),
     )
+
+
+@register(
+    "elastic_top_hits",
+    """WITH s AS (SELECT event_type AS key, event_id, value,
+                         CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT)
+                           AS doc_count,
+                         ROW_NUMBER() OVER (PARTITION BY event_type
+                                            ORDER BY value DESC, event_id ASC)
+                           AS hit_rank
+                  FROM events),
+            r AS (SELECT *, DENSE_RANK() OVER (ORDER BY doc_count DESC, key ASC)
+                              AS orank
+                  FROM s WHERE hit_rank <= 2)
+       SELECT key, doc_count, hit_rank, event_id, ROUND(value, 4) AS value
+       FROM r WHERE orank <= 3""",
+)
+def elastic_top_hits(spark, sf_dir):
+    """top_hits sub-agg (aggs_top_hits.go): per-bucket top-2 events by
+    value inside the top-3 terms buckets — one partitioned row_number
+    window over raw rows, no self-join; flattened hit rows."""
+    from .adapters.elastic import elastic_search
+
+    body = {"aggs": {"by_type": {
+        "terms": {"field": "event_type", "size": 3},
+        "aggs": {"best": {"top_hits": {
+            "sort": [{"value": {"order": "desc"}}, {"event_id": {"order": "asc"}}],
+            "size": 2,
+            "_source": {"includes": ["event_id", "value"]},
+        }}},
+    }}}
+    out = elastic_search(load(spark, sf_dir, "events"), body)
+    return out.select(
+        "key", "doc_count", "hit_rank", "event_id",
+        F.round("value", 4).alias("value"),
+    )

@@ -330,6 +330,30 @@ def test_geotile_grid_buckets(spark):
         aggs_to_df(df, {"g": {"geotile_grid": {"field": "loc", "precision": 31}}})
 
 
+def test_top_hits_per_bucket(ev):
+    """top_hits sub-agg (aggs_top_hits.go): per-bucket top-N raw rows
+    by the requested sort, flattened with the bucket key/doc_count;
+    outer terms order and size still apply."""
+    body = {"aggs": {"by_kind": {
+        "terms": {"field": "kind", "size": 2},
+        "aggs": {"best": {"top_hits": {
+            "sort": [{"score": {"order": "desc"}}],
+            "size": 2,
+            "_source": {"includes": ["id", "score"]},
+        }}},
+    }}}
+    got = elastic_search(ev, body).toPandas()
+    assert list(got.columns) == ["key", "doc_count", "hit_rank", "id", "score"]
+    # outer buckets: click(3) then error(1) by key-asc tie
+    assert list(got["key"]) == ["click", "click", "error"]
+    # click hits sorted score desc: id 3 (90.0) then id 6 (55.5)
+    assert list(got["id"]) == [3, 6, 5]
+    assert list(got["hit_rank"]) == [1, 2, 1]
+    with pytest.raises(ElasticDslError):
+        aggs_to_df(ev, {"b": {"terms": {"field": "kind"},
+                              "aggs": {"h": {"top_hits": {"size": 2}}}}})
+
+
 def test_bucket_script_and_sort(ev):
     """Pipeline aggs over finished buckets: bucket_script derives a
     per-bucket column from sibling metrics; bucket_sort reorders and
