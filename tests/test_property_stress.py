@@ -96,3 +96,41 @@ def test_random_shapes_match_oracle(spark, seed, kernel):
         transform(spark, df, kernel=kernel)
     ).toPandas()
     assert _canon_agg(got_agg) == _canon_agg(exp_agg), f"seed={seed}"
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_paragraph_dedup_invariants_random(spark, seed):
+    """Random multi-paragraph corpora: (1) the multiset of surviving
+    paragraphs equals the distinct paragraphs of the input; (2) each
+    doc's survivors appear in their original relative order; (3) every
+    paragraph survives in the doc where it FIRST appeared."""
+    from sneller_spark.operators.curation import paragraph_dedup
+
+    rng = np.random.Generator(np.random.PCG64(seed))
+    pool = [f"para-{i}" for i in range(12)]
+    rows = []
+    for doc_id in range(20):
+        k = int(rng.integers(1, 6))
+        paras = [pool[int(i)] for i in rng.integers(0, len(pool), size=k)]
+        rows.append((doc_id, "\n\n".join(paras)))
+    got = (
+        paragraph_dedup(spark.createDataFrame(rows, ["doc_id", "text"]))
+        .toPandas()
+        .set_index("doc_id")["text"]
+        .to_dict()
+    )
+
+    # python reference: keep first (doc, pos) occurrence of each para
+    first_doc: dict[str, tuple[int, int]] = {}
+    for doc_id, text in rows:
+        for pos, p in enumerate(text.split("\n\n")):
+            if p and p not in first_doc:
+                first_doc[p] = (doc_id, pos)
+    expect: dict[int, str] = {d: "" for d, _ in rows}
+    for doc_id, text in rows:
+        kept = [
+            p for pos, p in enumerate(text.split("\n\n"))
+            if p and first_doc[p] == (doc_id, pos)
+        ]
+        expect[doc_id] = "\n\n".join(kept)
+    assert got == expect
