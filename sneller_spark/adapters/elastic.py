@@ -629,6 +629,10 @@ def aggs_to_df(df: DataFrame, aggs: dict[str, Any]) -> DataFrame:
                 & (lat >= F.lit(b["bottom_right"]["lat"]))
                 & (lon <= F.lit(b["bottom_right"]["lon"]))
             )
+        # Elastic skips docs missing the geo field; without this filter
+        # a NULL lat/lon would land in a bogus truncated bucket because
+        # geo_tile_es's concat_ws silently drops NULL parts
+        src_df = src_df.filter(lat.isNotNull() & lon.isNotNull())
         out = src_df.groupBy(
             geo_tile_es(lat, lon, precision).alias("key")
         ).agg(F.count(F.lit(1)).alias("doc_count"), *metrics)

@@ -328,6 +328,15 @@ def test_geotile_grid_buckets(spark):
     assert dict(zip(got2["key"], got2["doc_count"])) == {"2/1/1": 2}
     with pytest.raises(ElasticDslError):
         aggs_to_df(df, {"g": {"geotile_grid": {"field": "loc", "precision": 31}}})
+    # docs with a NULL coordinate are skipped (Elastic semantics), not
+    # binned into a truncated bucket key
+    df2 = spark.createDataFrame(
+        [(1, 40.0, -74.0), (2, None, -74.0)], ["id", "lat", "lon"]
+    ).selectExpr("id", "named_struct('lat', lat, 'lon', lon) AS loc")
+    got3 = aggs_to_df(
+        df2, {"g": {"geotile_grid": {"field": "loc", "precision": 2}}}
+    ).toPandas()
+    assert dict(zip(got3["key"], got3["doc_count"])) == {"2/1/1": 1}
 
 
 def test_top_hits_per_bucket(ev):
