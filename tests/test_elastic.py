@@ -390,6 +390,25 @@ def test_bucket_script_and_sort(ev):
                                   "buckets_path": {}, "script": "doom()"}}}}})
 
 
+def test_nested_and_top_hits_plans_single_scan(ev):
+    """The nested-bucket and top_hits translations promise one pass
+    over the input: no Join and exactly one source scan in the
+    physical plan (outer doc_count and size caps are windows over the
+    aggregated/filtered result, never a second scan or self-join)."""
+    nested = elastic_search(ev, {"aggs": {"o": {
+        "terms": {"field": "kind", "size": 2},
+        "aggs": {"i": {"terms": {"field": "tag", "size": 2}}},
+    }}})
+    hits = elastic_search(ev, {"aggs": {"o": {
+        "terms": {"field": "kind", "size": 2},
+        "aggs": {"h": {"top_hits": {"sort": [{"score": "desc"}], "size": 1}}},
+    }}})
+    for df in (nested, hits):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Join" not in plan
+        assert plan.count("LocalTableScan") <= 1
+
+
 def test_range_with_date_math(ev, spark):
     import datetime as dt
 
