@@ -221,3 +221,46 @@ def paragraph_dedup(
             F.coalesce("_kept", F.lit(0)).alias("kept_paras"),
         )
     )
+
+
+def deterministic_sample(
+    df: DataFrame,
+    id_col: str,
+    fraction: float,
+    salt: str = "",
+) -> DataFrame:
+    """Down-sample to ~`fraction` of rows as a PURE FUNCTION of the row
+    key — the same never-rand() contract as hash_split: reruns,
+    resumes, and late-arriving shards keep or drop exactly the same
+    rows, and two pipelines sampling with the same salt select the
+    same subset (so features computed in separate jobs line up).
+    Change `salt` to draw an independent sample.  Pure map stage: no
+    shuffle, no state, scales with partition count."""
+    assert 0.0 <= fraction <= 1.0, fraction
+    cut = int(round(fraction * _SPLIT_BUCKETS))
+    return df.filter(split_bucket_col(F.col(id_col), salt) < cut)
+
+
+def mixture_sample(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the 'data mixture' knob of
+    a pretraining pipeline (keep 100% of wiki, 10% of crawl, 0% of the
+    rest), with the same pure-hash membership contract as
+    deterministic_sample.  Strata absent from `fractions` fall back to
+    `default_fraction`.  The per-stratum cutoff is a CASE expression
+    over the (tiny, driver-side) fractions dict — still a pure map
+    stage, no shuffle, no join."""
+    bucket = split_bucket_col(F.col(id_col), salt)
+    cut = F.lit(int(round(default_fraction * _SPLIT_BUCKETS)))
+    for name, frac in fractions.items():
+        assert 0.0 <= frac <= 1.0, (name, frac)
+        cut = F.when(
+            F.col(stratum_col) == name, int(round(frac * _SPLIT_BUCKETS))
+        ).otherwise(cut)
+    return df.filter(bucket < cut)

@@ -1563,3 +1563,33 @@ def elastic_top_hits(spark, sf_dir):
         "key", "doc_count", "hit_rank", "event_id",
         F.round("value", 4).alias("value"),
     )
+
+
+@register(
+    "curation_mixture_sample",
+    """WITH b AS (SELECT doc_id, source,
+                         ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || 'mix'),
+                                            1, 8))::BIGINT % 10000 AS bucket
+                  FROM documents)
+       SELECT source, COUNT(*) AS n FROM b
+       WHERE bucket < (CASE source WHEN 'src0' THEN 10000
+                                   WHEN 'src1' THEN 2500
+                                   ELSE 500 END)
+       GROUP BY source""",
+)
+def curation_mixture_sample(spark, sf_dir):
+    """Per-source data-mixture sampling (operators/curation.
+    mixture_sample): keep 100% of src0, 25% of src1, 5% of everything
+    else — membership a pure md5 function of (doc_id, salt), so reruns
+    and late shards keep identical rows; DuckDB reproduces the exact
+    bucket arithmetic.  Pure map stage before the count."""
+    from .operators.curation import mixture_sample
+
+    d = load(spark, sf_dir, "documents")
+    kept = mixture_sample(
+        d, "doc_id", "source",
+        {"src0": 1.0, "src1": 0.25},
+        default_fraction=0.05,
+        salt="mix",
+    )
+    return kept.groupBy("source").agg(F.count(F.lit(1)).alias("n"))

@@ -103,6 +103,39 @@ def test_decontaminate_broadcast_guard(spark):
     assert decontaminate(train, bench, shingle_k=5).count() == 1
 
 
+def test_deterministic_sample_stable_and_subset(spark, ids_df):
+    """Same (fraction, salt) selects byte-identical rows on rerun; a
+    larger fraction's selection is a superset of a smaller one (hash
+    cutoffs nest); different salts draw different samples."""
+    from sneller_spark.operators.curation import deterministic_sample
+
+    small = set(r[0] for r in deterministic_sample(ids_df, "id", 0.2).collect())
+    again = set(r[0] for r in deterministic_sample(ids_df, "id", 0.2).collect())
+    big = set(r[0] for r in deterministic_sample(ids_df, "id", 0.6).collect())
+    other = set(r[0] for r in deterministic_sample(ids_df, "id", 0.2, salt="s2").collect())
+    assert small == again
+    assert small <= big
+    assert other != small
+    n = ids_df.count()
+    assert abs(len(small) / n - 0.2) < 0.05 and abs(len(big) / n - 0.6) < 0.05
+
+
+def test_mixture_sample_per_stratum(spark):
+    """Per-stratum fractions: 1.0 keeps everything, 0.0 drops the
+    stratum entirely, unlisted strata use the default."""
+    from sneller_spark.operators.curation import mixture_sample
+
+    rows = [(i, ["keep", "drop", "other"][i % 3]) for i in range(600)]
+    df = spark.createDataFrame(rows, ["id", "src"])
+    kept = mixture_sample(
+        df, "id", "src", {"keep": 1.0, "drop": 0.0}, default_fraction=0.5
+    ).toPandas()
+    by = kept.groupby("src").size().to_dict()
+    assert by["keep"] == 200
+    assert "drop" not in by
+    assert 60 < by.get("other", 0) < 140
+
+
 def test_paragraph_dedup_within_and_across_docs(spark):
     """Within-doc repeats collapse to the first occurrence; a later doc
     made entirely of already-seen paragraphs comes back empty; order of
