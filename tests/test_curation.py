@@ -178,6 +178,25 @@ def test_paragraph_dedup_custom_separator_and_empties(spark):
     assert got.loc[2, "text"] == "c"
 
 
+def test_round4_operators_empty_input(spark):
+    """Empty inputs return empty (correctly-typed) results, not crashes."""
+    from sneller_spark.operators.curation import (
+        deterministic_sample,
+        mixture_sample,
+        paragraph_dedup,
+    )
+    from sneller_spark.operators.text import repetition_metrics, token_ngram_topk
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    assert paragraph_dedup(empty_docs).count() == 0
+    assert repetition_metrics(empty_docs).count() == 0
+    assert deterministic_sample(empty_docs, "doc_id", 0.5).count() == 0
+    empty_src = spark.createDataFrame([], "doc_id long, source string")
+    assert mixture_sample(empty_src, "doc_id", "source", {"a": 1.0}).count() == 0
+    empty_toks = spark.createDataFrame([], "doc_id long, tokens array<int>")
+    assert token_ngram_topk(empty_toks).count() == 0
+
+
 def test_pack_sequences_prefix_sum_bins(spark):
     rows = [(i, "s0", 600) for i in range(10)]  # 600*10 = 6000 tokens
     df = spark.createDataFrame(rows, ["doc_id", "source", "n_tok"])
