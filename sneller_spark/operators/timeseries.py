@@ -1,0 +1,125 @@
+"""Time-series joins Spark lacks as built-ins: as-of join and bucketed
+range (interval) join.
+
+The reference's query surface is log analytics over timestamped events
+(vm/ scans + time filters; TIME_BUCKET in expr/builtin.go); joining a
+log stream to the "latest state at or before t" (as-of) or to
+enclosing intervals (range) are the two lookups every telemetry
+pipeline eventually needs and Spark only offers via inequality joins
+— which Catalyst plans as BroadcastNestedLoopJoin, O(n*m) and
+undriveable at 100 TB.  Both operators here are pure DataFrame
+compositions with bounded shuffles, no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    t_col: str = "ts",
+    by: list[str] | None = None,
+    value_cols: list[str] | None = None,
+    tolerance: float | None = None,
+    matched_t_col: str | None = None,
+) -> DataFrame:
+    """Backward as-of join: for every left row, attach `value_cols`
+    from the LATEST right row with the same `by` keys and
+    right.t <= left.t (inclusive, matching DuckDB/pandas merge_asof
+    defaults); no match -> NULLs.
+
+    Implementation is the distributed merge shape — NOT an inequality
+    join: both sides union (right rows carry the values, left rows
+    carry nulls), ONE shuffle on the `by` keys, one sort by (t, side)
+    within each key, and a running last(value, ignorenulls) window
+    fills each left row from the most recent right row at or before
+    it.  Wall cost is sort-merge, identical to co-partitioned
+    merge_asof; right rows with equal (by, t) are tie-broken
+    arbitrarily — pre-aggregate the right side to one row per (by, t)
+    for determinism.
+
+    `tolerance` (same units as t_col after arithmetic — use numeric /
+    epoch seconds) nulls out matches older than left.t - tolerance.
+    `matched_t_col` optionally exposes the matched right timestamp.
+    With by=None the series is global and the sort degenerates to a
+    single partition — inherently sequential; supply keys at scale."""
+    by = by or []
+    value_cols = value_cols or [
+        c for c in right.columns if c != t_col and c not in by
+    ]
+    rmap = {c: f"_r_{c}" for c in value_cols}
+    r = right.select(
+        *[F.col(c) for c in by],
+        F.col(t_col),
+        *[F.col(c).alias(rmap[c]) for c in value_cols],
+    ).withColumn("_side", F.lit(0))
+    l = left.withColumn("_side", F.lit(1))
+    u = l.unionByName(r, allowMissingColumns=True)
+
+    w = (
+        Window.partitionBy(*[F.col(c) for c in by] or [F.lit(1)])
+        .orderBy(F.col(t_col).asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = u
+    for c in value_cols:
+        filled = filled.withColumn(rmap[c], F.last(rmap[c], ignorenulls=True).over(w))
+    filled = filled.withColumn(
+        "_matched_t",
+        F.last(F.when(F.col("_side") == 0, F.col(t_col)), ignorenulls=True).over(w),
+    )
+    out = filled.filter(F.col("_side") == 1)
+    if tolerance is not None:
+        stale = F.col("_matched_t") < (F.col(t_col) - F.lit(tolerance))
+        for c in value_cols:
+            out = out.withColumn(rmap[c], F.when(~stale, F.col(rmap[c])))
+        out = out.withColumn("_matched_t", F.when(~stale, F.col("_matched_t")))
+    keep = [F.col(c) for c in left.columns]
+    keep += [F.col(rmap[c]).alias(c) for c in value_cols]
+    if matched_t_col:
+        keep.append(F.col("_matched_t").alias(matched_t_col))
+    return out.select(*keep)
+
+
+def range_join_bucketed(
+    points: DataFrame,
+    intervals: DataFrame,
+    t_col: str,
+    start_col: str,
+    end_col: str,
+    by: list[str] | None = None,
+    bucket_width: float = 3600.0,
+) -> DataFrame:
+    """Range (interval) join: every (point, interval) pair with the
+    same `by` keys and start <= t < end — as an EQUI-join, never a
+    nested-loop.
+
+    Both sides map to buckets of `bucket_width` (numeric domain — pass
+    epoch seconds for timestamps): a point has one bucket, an interval
+    explodes to every bucket it overlaps, the join runs on
+    (by..., bucket) and an exact start/end filter removes the edge
+    overcount.  A point matches an interval in exactly one bucket (its
+    own), so no dedup pass is needed.  Interval replication is
+    ceil(length / bucket_width) + 1 — pick bucket_width near the
+    median interval length so replication stays O(1) while bucket
+    cardinality keeps the shuffle balanced."""
+    assert bucket_width > 0, bucket_width
+    by = by or []
+    w = float(bucket_width)
+    p = points.withColumn("_bkt", F.floor(F.col(t_col) / w).cast("long"))
+    iv = intervals.withColumn(
+        "_bkt",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col) / w).cast("long"),
+                F.floor(F.col(end_col) / w).cast("long"),
+            )
+        ),
+    )
+    joined = p.join(iv, on=by + ["_bkt"], how="inner").filter(
+        (F.col(t_col) >= F.col(start_col)) & (F.col(t_col) < F.col(end_col))
+    )
+    return joined.drop("_bkt")

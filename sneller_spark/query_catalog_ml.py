@@ -1593,3 +1593,68 @@ def curation_mixture_sample(spark, sf_dir):
         salt="mix",
     )
     return kept.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "asof_join_latest_value",
+    """WITH l AS (SELECT user_id, event_id, ts FROM events
+                  WHERE event_type = 'click'),
+            r AS (SELECT user_id, ts, MAX(value) AS v FROM events
+                  WHERE event_type = 'view' GROUP BY 1, 2)
+       SELECT l.user_id, l.event_id, ROUND(r.v, 4) AS v
+       FROM l ASOF LEFT JOIN r
+         ON l.user_id = r.user_id AND l.ts >= r.ts""",
+)
+def asof_join_latest_value(spark, sf_dir):
+    """As-of join (operators/timeseries.asof_join): every click gets
+    the latest view value at-or-before it per user — the distributed
+    merge shape (one shuffle on user_id + running last() window),
+    never an inequality nested-loop.  Right side pre-aggregated to one
+    row per (user, ts) for tie determinism; oracle is DuckDB's native
+    ASOF LEFT JOIN."""
+    from .operators.timeseries import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("v"))
+    )
+    out = asof_join(clicks, views, t_col="ts", by=["user_id"], value_cols=["v"])
+    return out.select("user_id", "event_id", F.round("v", 4).alias("v"))
+
+
+@register(
+    "range_join_first_day_counts",
+    """WITH e AS (SELECT user_id, epoch(ts) AS t FROM events),
+            iv AS (SELECT user_id, MIN(t) AS s, MIN(t) + 86400 AS en
+                   FROM e GROUP BY 1)
+       SELECT e.user_id, COUNT(*) AS n
+       FROM e JOIN iv ON e.user_id = iv.user_id
+                     AND e.t >= iv.s AND e.t < iv.en
+       GROUP BY e.user_id""",
+)
+def range_join_first_day_counts(spark, sf_dir):
+    """Bucketed range join (operators/timeseries.range_join_bucketed):
+    count each user's events inside their first-24h window.  Interval
+    containment as an EQUI-join on (user, time-bucket) + exact edge
+    filter — the plan a nested-loop inequality join cannot give at
+    scale."""
+    from .operators.timeseries import range_join_bucketed
+
+    # ts is TIMESTAMP_NTZ; hop through TIMESTAMP (session tz is UTC)
+    # to get the same epoch seconds DuckDB's epoch() produces
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("timestamp").cast("double").alias("t")
+    )
+    iv = ev.groupBy("user_id").agg(
+        F.min("t").alias("s"), (F.min("t") + 86400.0).alias("en")
+    )
+    joined = range_join_bucketed(
+        ev, iv, t_col="t", start_col="s", end_col="en",
+        by=["user_id"], bucket_width=21600.0,
+    )
+    return joined.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))

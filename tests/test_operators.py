@@ -597,3 +597,100 @@ def test_unigram_logprob_matches_python(spark, docs_df):
         assert got.loc[i, "n_words"] == len(ws)
     # an out-of-distribution doc scores lower than a typical one
     assert got["mean_logprob"].min() < got["mean_logprob"].max()
+
+
+def test_asof_join_matches_python_reference(spark):
+    """Backward as-of join vs a brute-force python reference: latest
+    right value at-or-before each left t per key; inclusive equality;
+    no match -> NULL; tolerance nulls out stale matches."""
+    from sneller_spark.operators.timeseries import asof_join
+
+    rng = np.random.Generator(np.random.PCG64(7))
+    lrows = [(int(k), float(t)) for k, t in
+             zip(rng.integers(0, 5, 80), rng.uniform(0, 100, 80))]
+    rrows = {}
+    for k, t, v in zip(rng.integers(0, 5, 60), rng.uniform(0, 100, 60),
+                       rng.uniform(0, 1, 60)):
+        rrows[(int(k), float(t))] = float(v)  # unique (k, t): determinism
+    left = spark.createDataFrame(lrows, ["k", "t"])
+    right = spark.createDataFrame(
+        [(k, t, v) for (k, t), v in rrows.items()], ["k", "t", "v"]
+    )
+    got = asof_join(
+        left, right, t_col="t", by=["k"], value_cols=["v"],
+        matched_t_col="mt",
+    ).toPandas()
+
+    def ref(k, t, tol=None):
+        cands = [(rt, v) for (rk, rt), v in rrows.items()
+                 if rk == k and rt <= t and (tol is None or rt >= t - tol)]
+        return max(cands)[1] if cands else None
+
+    import math
+
+    def norm(v):
+        return None if v is None or (isinstance(v, float) and math.isnan(v)) else v
+
+    for row in got.itertuples(index=False):
+        expect = ref(row.k, row.t)
+        v = norm(row.v)
+        assert (v is None and expect is None) or abs(v - expect) < 1e-12
+        if v is not None:
+            assert row.mt <= row.t
+    # tolerance form
+    got_tol = asof_join(
+        left, right, t_col="t", by=["k"], value_cols=["v"], tolerance=5.0
+    ).toPandas()
+    for row in got_tol.itertuples(index=False):
+        expect = ref(row.k, row.t, tol=5.0)
+        v = norm(row.v)
+        assert (v is None and expect is None) or abs(v - expect) < 1e-12
+
+
+def test_asof_join_inclusive_and_no_nested_loop(spark):
+    from sneller_spark.operators.timeseries import asof_join
+
+    left = spark.createDataFrame([(1, 10.0), (1, 5.0)], ["k", "t"])
+    right = spark.createDataFrame([(1, 10.0, "same"), (1, 4.0, "old")],
+                                  ["k", "t", "v"])
+    out = asof_join(left, right, t_col="t", by=["k"], value_cols=["v"])
+    got = {r["t"]: r["v"] for r in out.collect()}
+    assert got == {10.0: "same", 5.0: "old"}  # inclusive at equal t
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_range_join_bucketed_matches_inequality(spark):
+    """Bucketed range join == the naive inequality join, across bucket
+    widths (edge replication + exact filter leave no dupes/misses)."""
+    from sneller_spark.operators.timeseries import range_join_bucketed
+
+    rng = np.random.Generator(np.random.PCG64(13))
+    pts = [(int(k), float(t)) for k, t in
+           zip(rng.integers(0, 4, 120), rng.uniform(0, 1000, 120))]
+    ivs = []
+    for i, (k, s) in enumerate(zip(rng.integers(0, 4, 25),
+                                   rng.uniform(0, 950, 25))):
+        ivs.append((int(k), i, float(s), float(s + rng.uniform(1, 200))))
+    points = spark.createDataFrame(pts, ["k", "t"])
+    intervals = spark.createDataFrame(ivs, ["k", "iv_id", "s", "e"])
+
+    expect = sorted(
+        (k, t, iv)
+        for k, t in pts
+        for (ik, iv, s, e) in ivs
+        if ik == k and s <= t < e
+    )
+    for width in (10.0, 97.0, 400.0):
+        got = sorted(
+            (r["k"], r["t"], r["iv_id"])
+            for r in range_join_bucketed(
+                points, intervals, "t", "s", "e", by=["k"],
+                bucket_width=width,
+            ).collect()
+        )
+        assert got == expect, f"width={width}"
+    # equi-join plan, not a nested loop
+    out = range_join_bucketed(points, intervals, "t", "s", "e", by=["k"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
