@@ -41,20 +41,20 @@ _PRIORITY = [
     # scans / projections / predicates
     "scan_project_filter", "case_when_projection",
     # aggregations
-    "agg_q1_pricing_summary", "agg_minmax_earliest_latest",
+    "agg_q1_pricing_summary",
     "agg_filter_clause", "bit_bool_aggs", "count_distinct_exact",
-    "percentile_exact", "stddev_variance_pop", "grouping_rollup",
+    "percentile_exact", "grouping_rollup",
     "bucketed_partitionwise_agg",
-    # joins
-    "broadcast_join_agg", "join_three_way_star", "left_join_null_default",
-    "semi_join_in_subquery", "anti_join_not_exists", "cross_join_unnested",
+    # joins (incl. the round-4 time-series joins)
+    "broadcast_join_agg", "join_three_way_star",
+    "semi_join_in_subquery", "anti_join_not_exists",
     "exists_correlated",
+    "asof_join_latest_value", "range_join_first_day_counts",
     # windows / sorts / sessions
     "window_topn_per_group", "topk_orders", "q3_shipping_priority",
     "sessionization_gaps",
     # set ops / unnest / pivot
-    "distinct_tuple", "union_all_append",
-    "explode_words_topk", "unpivot_part_metrics",
+    "union_all_append", "explode_words_topk",
     # scalar builtin families
     "like_contains_ci", "regexp_similar_to",
     "contains_fuzzy_parts", "date_trunc_day_agg",
@@ -62,15 +62,18 @@ _PRIORITY = [
     "geo_tile_functions", "ip_subnet_filter", "datashape_profile",
     # Elastic DSL adapter (elasticproxy analog)
     "elastic_terms_agg", "elastic_date_histogram_day",
+    "elastic_nested_terms_agg",
     # flagship DAG + routed-row equality (the north-rule checks)
     "tokens_pipeline_flagship", "routed_rows_equality",
     # dedup / similarity / text / curation (LLM-data-pipeline families)
-    "dedup_exact_counts", "dedup_keep_first_rows", "ngram_jaccard_pairs",
+    "dedup_exact_counts", "ngram_jaccard_pairs",
     "dedup_connected_components",
     "ann_cosine_topk_brute", "embedding_cosine_near_dup_blocked",
     "language_id_heuristic", "near_dedup_surviving_rows",
     "curation_hash_split", "curation_decontaminate",
     "sequence_packing_bins", "text_unigram_logprob",
+    "curation_paragraph_dedup", "text_repetition_metrics",
+    "tokens_ngram_topk", "curation_mixture_sample",
 ]
 assert len(_PRIORITY) == 50
 
