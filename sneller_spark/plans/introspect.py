@@ -109,3 +109,23 @@ def assert_no_python_in_plan(df: DataFrame) -> None:
     text = explain_str(df)
     for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas", "PythonMapInArrow"):
         assert marker not in text, f"unexpected python boundary: {marker}"
+
+
+def executed_final_plan(df: DataFrame) -> str:
+    """Execute THIS DataFrame's own QueryExecution and return its final
+    adaptive plan string.  Any derived action (df.count(),
+    df.write...) builds a NEW QueryExecution, so the AQE re-plan —
+    skew-join splits, coalesced partitions, runtime join demotion —
+    is invisible on the original; driving the physical plan's RDD
+    directly finalizes the plan you actually asked about."""
+    qe = df._jdf.queryExecution()
+    qe.executedPlan().execute().count()
+    return qe.executedPlan().toString()
+
+
+def assert_aqe_skew_join(df: DataFrame) -> None:
+    """Assert AQE's skew mitigation actually engaged: the executed
+    final plan carries a skew=true join."""
+    plan = executed_final_plan(df)
+    assert "isFinalPlan=true" in plan, "plan did not finalize under AQE"
+    assert "skew=true" in plan, f"no skew-join split in final plan:\n{plan}"

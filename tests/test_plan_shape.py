@@ -163,3 +163,50 @@ def test_srp_pruned_index_scans_only_probed_partitions(spark, sf_dir, tmp_path):
 
     unpruned = lsh_bucketed_topk(e, q, k=10, n_planes=6, probe_hamming=1)
     assert [tuple(r) for r in pruned.collect()] == [tuple(r) for r in unpruned.collect()]
+
+
+def test_aqe_skew_join_mitigation_engages(spark):
+    """Skew story beyond explicit salting: with AQE's skew-join
+    enabled, a join whose shuffle has one dominant key is re-planned
+    at runtime — the final adaptive plan carries SortMergeJoin
+    (skew=true), i.e. the hot partition was split without any code
+    change.  Thresholds are lowered so local-mode volumes qualify; on
+    a real cluster the defaults (factor 5 / 256MB) do this at 100 TB
+    scale.  Conf is restored so later tests keep the session
+    defaults."""
+    from pyspark.sql import functions as F
+
+    from sneller_spark.plans import assert_aqe_skew_join
+
+    tuned = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {}
+    for k, v in tuned.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(0, 300_000).select(
+            F.when(F.col("id") % 3 == 0, F.lit(7))
+            .otherwise(F.col("id") % 1000)
+            .alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(0, 50_000).select(
+            (F.col("id") % 1000).alias("k"), F.col("id").alias("w")
+        )
+        assert_aqe_skew_join(left.join(right, "k"))
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
