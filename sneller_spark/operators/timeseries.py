@@ -123,3 +123,84 @@ def range_join_bucketed(
         (F.col(t_col) >= F.col(start_col)) & (F.col(t_col) < F.col(end_col))
     )
     return joined.drop("_bkt")
+
+
+_GRAN_ORDER = ["minute", "hour", "day", "week", "month", "year"]
+
+
+def rollup_time_buckets(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_cols: list[str] | None = None,
+    value_col: str = "value",
+    granularities: tuple[str, ...] = ("hour", "day"),
+) -> dict[str, DataFrame]:
+    """Hypertable-style hierarchical rollups: partial aggregates
+    (n, sum, min, max — avg is sum/n at read time) per time bucket and
+    key, one DataFrame per granularity.
+
+    The finest level aggregates the raw events ONCE; every coarser
+    level re-aggregates the NEXT-FINER ROLLUP, not the raw table — a
+    day bucket reads 24 hour-rows instead of the day's raw events, a
+    month reads ~30 day-rows.  That is the continuous-aggregate trick
+    that makes multi-granularity dashboards O(rollup) instead of
+    O(raw) at 100 TB: the raw table is scanned exactly once no matter
+    how many levels are materialized.  Partials compose losslessly
+    (sum of sums, sum of counts, min of mins, max of maxs), which is
+    also what makes merge_rollup's incremental maintenance exact."""
+    key_cols = key_cols or []
+    grans = list(granularities)
+    order = [g for g in _GRAN_ORDER if g in grans]
+    assert order == grans, f"granularities must be finest-first from {_GRAN_ORDER}"
+    # weeks straddle month/year boundaries: a month derived from week
+    # buckets would be wrong, so 'week' may only terminate the chain
+    assert "week" not in grans[:-1], "'week' must be the last granularity"
+
+    out: dict[str, DataFrame] = {}
+    finest = grans[0]
+    out[finest] = (
+        df.groupBy(
+            F.date_trunc(finest, F.col(ts_col)).alias("bucket"), *key_cols
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(value_col).alias("sum_v"),
+            F.min(value_col).alias("min_v"),
+            F.max(value_col).alias("max_v"),
+        )
+    )
+    for prev, gran in zip(grans, grans[1:]):
+        out[gran] = (
+            out[prev]
+            .groupBy(F.date_trunc(gran, F.col("bucket")).alias("bucket"), *key_cols)
+            .agg(
+                F.sum("n").alias("n"),
+                F.sum("sum_v").alias("sum_v"),
+                F.min("min_v").alias("min_v"),
+                F.max("max_v").alias("max_v"),
+            )
+        )
+    return out
+
+
+def merge_rollup(
+    existing: DataFrame,
+    delta: DataFrame,
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """Incremental rollup maintenance: fold a new batch's partials into
+    an existing rollup of the same granularity — union + one groupBy
+    on (bucket, keys).  Because the partials compose losslessly, the
+    merged rollup is EXACTLY the rollup of the union of the raw data
+    (pytest-proven), so a streaming/batch ingest only ever aggregates
+    its new files and touches rollup rows for the buckets it saw."""
+    key_cols = key_cols or []
+    return (
+        existing.unionByName(delta)
+        .groupBy("bucket", *key_cols)
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("sum_v").alias("sum_v"),
+            F.min("min_v").alias("min_v"),
+            F.max("max_v").alias("max_v"),
+        )
+    )

@@ -1658,3 +1658,35 @@ def range_join_first_day_counts(spark, sf_dir):
         by=["user_id"], bucket_width=21600.0,
     )
     return joined.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "hypertable_rollup_day_from_hour",
+    """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+              event_type, COUNT(*) AS n,
+              ROUND(SUM(value), 4) AS sum_v,
+              ROUND(MIN(value), 4) AS min_v,
+              ROUND(MAX(value), 4) AS max_v
+       FROM events GROUP BY 1, 2""",
+)
+def hypertable_rollup_day_from_hour(spark, sf_dir):
+    """Hypertable rollup (operators/timeseries.rollup_time_buckets):
+    the DAY level is re-aggregated from the HOUR rollup — the raw
+    table is scanned once and the day buckets read 24 hour-rows each
+    — yet matches the oracle's direct GROUP BY day exactly, proving
+    the partials compose losslessly through the hierarchy."""
+    from .operators.timeseries import rollup_time_buckets
+
+    ev = load(spark, sf_dir, "events")
+    levels = rollup_time_buckets(
+        ev, ts_col="ts", key_cols=["event_type"], value_col="value",
+        granularities=("hour", "day"),
+    )
+    day = levels["day"]
+    return day.select(
+        F.date_format("bucket", "yyyy-MM-dd").alias("day"),
+        "event_type", "n",
+        F.round("sum_v", 4).alias("sum_v"),
+        F.round("min_v", 4).alias("min_v"),
+        F.round("max_v", 4).alias("max_v"),
+    )

@@ -694,3 +694,47 @@ def test_range_join_bucketed_matches_inequality(spark):
     out = range_join_bucketed(points, intervals, "t", "s", "e", by=["k"])
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_rollup_incremental_merge_equals_full(spark):
+    """Hypertable rollups: merging a delta batch's partials into an
+    existing rollup equals rolling up the full data — across every
+    granularity level — and coarse levels match direct aggregation."""
+    import datetime as dt
+
+    from sneller_spark.operators.timeseries import merge_rollup, rollup_time_buckets
+
+    rng = np.random.Generator(np.random.PCG64(3))
+    base = dt.datetime(2024, 5, 1)
+    rows = [
+        (base + dt.timedelta(minutes=int(m)), ["a", "b"][int(k)], float(v))
+        for m, k, v in zip(
+            rng.integers(0, 60 * 24 * 3, 500), rng.integers(0, 2, 500),
+            rng.uniform(0, 100, 500),
+        )
+    ]
+    df = spark.createDataFrame(rows, ["ts", "k", "value"])
+    first, second = df.filter(F.col("value") < 50), df.filter(F.col("value") >= 50)
+
+    full = rollup_time_buckets(df, key_cols=["k"], granularities=("hour", "day"))
+    r1 = rollup_time_buckets(first, key_cols=["k"], granularities=("hour", "day"))
+    r2 = rollup_time_buckets(second, key_cols=["k"], granularities=("hour", "day"))
+
+    def canon(d):
+        pdf = d.toPandas().sort_values(["bucket", "k"]).reset_index(drop=True)
+        pdf["sum_v"] = pdf["sum_v"].round(6)
+        return pdf
+
+    for g in ("hour", "day"):
+        merged = merge_rollup(r1[g], r2[g], key_cols=["k"])
+        assert canon(merged).equals(canon(full[g])), g
+    # day level == direct aggregation of raw data
+    direct = (
+        df.groupBy(F.date_trunc("day", "ts").alias("bucket"), "k")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_v"),
+             F.min("value").alias("min_v"), F.max("value").alias("max_v"))
+    )
+    assert canon(full["day"]).equals(canon(direct))
+    # week may not feed a coarser level
+    with pytest.raises(AssertionError):
+        rollup_time_buckets(df, key_cols=["k"], granularities=("week", "month"))
