@@ -269,3 +269,73 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     assert sorted(got["doc_id"]) == [1, 2, 3, 4, 5, 6]
     # first occurrence wins: the re-delivered payloads never surface
     assert "dup" not in set(got["payload"])
+
+
+def test_streaming_rollup_incremental_maintenance(spark, tmp_path):
+    """Continuous-aggregate maintenance on a stream: each micro-batch
+    rolls up its OWN rows (lossless partials) and merge_rollup folds
+    them into the running rollup table — after all triggers the
+    maintained rollup equals a batch rollup of everything, though no
+    batch ever saw more than its own files."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from sneller_spark.operators.timeseries import merge_rollup, rollup_time_buckets
+
+    src = tmp_path / "events_in"
+    src.mkdir()
+    base = dt.datetime(2024, 6, 1)
+    all_rows = []
+    for f in range(3):
+        rows = [
+            (base + dt.timedelta(minutes=90 * f + m), "k%d" % (m % 2), float(m))
+            for m in range(40)
+        ]
+        all_rows += rows
+        # plain parquet FILES (not directories): the file stream source
+        # does not recurse into subdirectories
+        pd.DataFrame(rows, columns=["ts", "k", "value"]).to_parquet(
+            src / f"f{f}.parquet", index=False, coerce_timestamps="us"
+        )
+
+    store = str(tmp_path / "rollup_store")
+    state = {"have": False}
+
+    def upsert(batch_df, epoch_id):
+        part = rollup_time_buckets(
+            batch_df, key_cols=["k"], granularities=("hour",)
+        )["hour"]
+        if state["have"]:
+            existing = batch_df.sparkSession.read.parquet(store)
+            part = merge_rollup(existing, part, key_cols=["k"])
+        # stage then swap: the store is also this batch's input
+        staged = store + ".next"
+        part.write.mode("overwrite").parquet(staged)
+        import shutil
+
+        shutil.rmtree(store, ignore_errors=True)
+        shutil.move(staged, store)
+        state["have"] = True
+
+    q = (
+        spark.readStream.schema("ts timestamp_ntz, k string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    full = rollup_time_buckets(
+        spark.createDataFrame(all_rows, "ts timestamp_ntz, k string, value double"),
+        key_cols=["k"], granularities=("hour",),
+    )["hour"].toPandas().sort_values(["bucket", "k"]).reset_index(drop=True)
+    got = (
+        spark.read.parquet(store).toPandas()
+        .sort_values(["bucket", "k"]).reset_index(drop=True)
+    )
+    assert got[["bucket", "k", "n"]].equals(full[["bucket", "k", "n"]])
+    assert (got["sum_v"].round(6) == full["sum_v"].round(6)).all()
