@@ -1,0 +1,117 @@
+"""Count-min sketch over DataFrames: fixed-memory frequency summaries
+and exactly-correct heavy hitters.
+
+The reference ships approximate aggregates as sketches (HLL for
+APPROX_COUNT_DISTINCT, a t-digest-style structure for
+APPROX_PERCENTILE — expr/blob.go + vm aggregation kernels); this
+module adds the frequency-sketch family member on the same posture:
+the sketch is an ordinary (depth x width) DataFrame of bucket counts,
+built in ONE scan with a map-side-combined aggregation, so it
+distributes, persists, and merges like any other table — no opaque
+binary blobs, no driver-side state.
+
+Guarantees (standard CM): estimates never UNDER-count, and
+P[estimate - true > eps * N] < delta with width = ceil(e / eps),
+depth = ceil(ln(1 / delta)).  The one-sided error is what makes
+`heavy_hitters_exact` exact: filtering candidates at `threshold` by
+sketch estimate keeps every true heavy hitter (no false negatives,
+ever), and the exact recount of the surviving candidates removes the
+false positives — sketch for pruning, recount for truth.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def cm_sketch(
+    df: DataFrame,
+    item_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    seed: int = 7,
+) -> DataFrame:
+    """Build the sketch: DataFrame (d, bucket, cnt) with at most
+    depth*width rows — memory independent of item cardinality.  One
+    scan: each row explodes to its `depth` (row, bucket) cells via a
+    JVM array expression, then one hash aggregation."""
+    assert depth >= 1 and width >= 1
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("d"),
+                F.pmod(F.xxhash64(F.col(item_col), F.lit(seed + d)), F.lit(width))
+                .alias("bucket"),
+            )
+            for d in range(depth)
+        ]
+    )
+    return (
+        df.select(F.explode(cells).alias("c"))
+        .groupBy(F.col("c.d").alias("d"), F.col("c.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cm_estimate(
+    sketch: DataFrame,
+    items: DataFrame,
+    item_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    seed: int = 7,
+) -> DataFrame:
+    """Estimated count per item in `items`: min over the sketch rows of
+    the item's bucket counts.  The sketch side is depth*width rows —
+    broadcast-sized by construction — so each estimate is a broadcast
+    join, never a scan of the original data.  Items hashing to buckets
+    nothing touched keep cnt 0 via the coalesce."""
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("d"),
+                F.pmod(F.xxhash64(F.col(item_col), F.lit(seed + d)), F.lit(width))
+                .alias("bucket"),
+            )
+            for d in range(depth)
+        ]
+    )
+    probes = items.select(
+        F.col(item_col), F.explode(cells).alias("c")
+    ).select(item_col, F.col("c.d").alias("d"), F.col("c.bucket").alias("bucket"))
+    return (
+        probes.join(F.broadcast(sketch), ["d", "bucket"], "left")
+        .groupBy(item_col)
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est"))
+    )
+
+
+def heavy_hitters_exact(
+    df: DataFrame,
+    item_col: str,
+    threshold: int,
+    depth: int = 4,
+    width: int = 1024,
+    seed: int = 7,
+) -> DataFrame:
+    """EXACT items with count >= threshold, sketch-pruned: (1) build
+    the CM sketch (one scan, fixed memory); (2) estimate every
+    distinct item and keep those with estimate >= threshold — CM never
+    under-counts, so every true heavy hitter survives; (3) exact
+    recount of only the surviving candidates (semi-join) and a final
+    exact filter drops the false positives.  The expensive exact
+    count runs over the (small) candidate set, not the full key
+    space — the sketch is the pruner, the recount is the truth."""
+    sketch = cm_sketch(df, item_col, depth, width, seed)
+    distinct_items = df.select(item_col).distinct()
+    cand = cm_estimate(sketch, distinct_items, item_col, depth, width, seed).filter(
+        F.col("est") >= threshold
+    )
+    exact = (
+        df.join(cand.select(item_col), item_col, "left_semi")
+        .groupBy(item_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= threshold)
+    )
+    return exact

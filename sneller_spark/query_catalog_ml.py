@@ -1690,3 +1690,26 @@ def hypertable_rollup_day_from_hour(spark, sf_dir):
         F.round("min_v", 4).alias("min_v"),
         F.round("max_v", 4).alias("max_v"),
     )
+
+
+@register(
+    "sketch_heavy_hitters_exact",
+    """SELECT w AS word, COUNT(*) AS n
+       FROM (SELECT unnest(string_split_regex(text, '\\s+')) AS w
+             FROM documents)
+       GROUP BY w HAVING COUNT(*) >= 500""",
+)
+def sketch_heavy_hitters_exact(spark, sf_dir):
+    """Count-min-pruned EXACT heavy hitters (operators/sketch.py):
+    words appearing >= 500 times across the documents corpus (30
+    hitters at both sf0.001 and sf0.01).  The
+    sketch (one scan, depth 4 x width 2048 — memory independent of
+    vocabulary size) prunes the candidate set with zero false
+    negatives (CM never under-counts), and the exact recount of the
+    survivors matches the oracle's plain GROUP BY ... HAVING exactly."""
+    from .operators.sketch import heavy_hitters_exact
+
+    words = load(spark, sf_dir, "documents").select(
+        F.explode(F.split(F.col("text"), r"\s+")).alias("word")
+    )
+    return heavy_hitters_exact(words, "word", threshold=500, width=2048)

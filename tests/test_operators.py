@@ -738,3 +738,53 @@ def test_rollup_incremental_merge_equals_full(spark):
     # week may not feed a coarser level
     with pytest.raises(AssertionError):
         rollup_time_buckets(df, key_cols=["k"], granularities=("week", "month"))
+
+
+def test_cm_sketch_never_undercounts_and_bounds(spark):
+    """CM property tests: estimate >= true count for EVERY item, and
+    with width >> distinct items the overestimate stays within the
+    eps*N bound; absent items estimate near 0."""
+    from sneller_spark.operators.sketch import cm_estimate, cm_sketch
+
+    rng = np.random.Generator(np.random.PCG64(2))
+    items = [f"w{int(i)}" for i in rng.zipf(1.7, 5000) if i < 200]
+    n_total = len(items)
+    df = spark.createDataFrame([(w,) for w in items], ["word"])
+    true = {}
+    for w in items:
+        true[w] = true.get(w, 0) + 1
+
+    sketch = cm_sketch(df, "word", depth=4, width=1024)
+    assert sketch.count() <= 4 * 1024
+    distinct = spark.createDataFrame([(w,) for w in true], ["word"])
+    est = cm_estimate(sketch, distinct, "word", depth=4, width=1024)
+    got = {r["word"]: r["est"] for r in est.collect()}
+    eps_n = (2.718 / 1024) * n_total
+    for w, t in true.items():
+        assert got[w] >= t, f"undercount on {w}"
+        assert got[w] - t <= max(eps_n * 5, 3), f"gross overcount on {w}"
+    # an item never inserted: estimate bounded by collisions only
+    ghost = spark.createDataFrame([("never-seen-item",)], ["word"])
+    g = cm_estimate(sketch, ghost, "word", depth=4, width=1024).collect()[0]["est"]
+    assert g <= max(eps_n * 5, 3)
+
+
+def test_heavy_hitters_exact_matches_recount(spark):
+    """Sketch-pruned heavy hitters == plain exact GROUP BY/HAVING, at
+    several thresholds (no false negatives by the CM one-sided bound,
+    no false positives after the recount)."""
+    from sneller_spark.operators.sketch import heavy_hitters_exact
+
+    rng = np.random.Generator(np.random.PCG64(9))
+    items = [f"t{int(i)}" for i in rng.zipf(1.5, 8000) if i < 500]
+    df = spark.createDataFrame([(w,) for w in items], ["word"])
+    true = {}
+    for w in items:
+        true[w] = true.get(w, 0) + 1
+    for threshold in (5, 50, 200):
+        got = {
+            r["word"]: r["n"]
+            for r in heavy_hitters_exact(df, "word", threshold, width=512).collect()
+        }
+        expect = {w: c for w, c in true.items() if c >= threshold}
+        assert got == expect, threshold
