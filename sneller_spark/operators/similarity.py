@@ -405,11 +405,14 @@ def cosine_near_dup_pairs_blocked(
         )
         cand = small_pairs.unionByName(big_pairs)
     sim = F.round(cosine_pair_sim(F.col("va"), F.col("vb")), round_digits)
-    return (
-        cand.select("id_a", "id_b", sim.alias("cos_sim"))
-        .filter(F.col("cos_sim") >= threshold)
-        .distinct()
+    out = cand.select("id_a", "id_b", sim.alias("cos_sim")).filter(
+        F.col("cos_sim") >= threshold
     )
+    # bands == 1: a pair meets in exactly one bucket (and the capped
+    # small/big bucket sets are disjoint), so pairs are already unique
+    # — the dedup shuffle is only needed when multiple bands can emit
+    # the same pair
+    return out.distinct() if bands > 1 else out
 
 
 def write_srp_index(
