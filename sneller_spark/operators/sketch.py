@@ -94,18 +94,27 @@ def heavy_hitters_exact(
     depth: int = 4,
     width: int = 1024,
     seed: int = 7,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """EXACT items with count >= threshold, sketch-pruned: (1) build
-    the CM sketch (one scan, fixed memory); (2) estimate every
-    distinct item and keep those with estimate >= threshold — CM never
-    under-counts, so every true heavy hitter survives; (3) exact
-    recount of only the surviving candidates (semi-join) and a final
-    exact filter drops the false positives.  The expensive exact
-    count runs over the (small) candidate set, not the full key
-    space — the sketch is the pruner, the recount is the truth."""
+    the CM sketch (one scan, fixed memory); (2) estimate each
+    candidate and keep those with estimate >= threshold — CM never
+    under-counts, so every true heavy hitter among the candidates
+    survives; (3) exact recount of only the survivors (semi-join) and
+    a final exact filter drops the false positives.
+
+    Honest cost note: with the default candidates (the corpus's own
+    distinct items) the candidate enumeration is itself a full
+    distinct aggregation, comparable to an exact count — the sketch
+    then saves only the wide recount.  The construction pays off when
+    `candidates` comes from elsewhere (a sample, a prior epoch's
+    hitters, a stream's new keys) or when the fixed-size sketch is the
+    artifact being shipped/merged across shards; pass that candidate
+    set explicitly in those settings."""
     sketch = cm_sketch(df, item_col, depth, width, seed)
-    distinct_items = df.select(item_col).distinct()
-    cand = cm_estimate(sketch, distinct_items, item_col, depth, width, seed).filter(
+    if candidates is None:
+        candidates = df.select(item_col).distinct()
+    cand = cm_estimate(sketch, candidates, item_col, depth, width, seed).filter(
         F.col("est") >= threshold
     )
     exact = (
