@@ -477,8 +477,16 @@ def _top_hits_df(
     includes = (spec.get("_source") or {}).get("includes") or [
         c for c in df.columns if c != outer_body["field"]
     ]
+    # Elastic sorts and projects independently: sort fields outside
+    # _source.includes must still be selectable for the window
+    sort_fields = []
+    for s in spec.get("sort", []):
+        (fld, _), = s.items() if isinstance(s, dict) else ((s, None),)
+        sort_fields.append(fld)
+    carry = includes + [f for f in sort_fields
+                        if f not in includes and f != outer_body["field"]]
     okey = F.col(outer_body["field"]).alias("key")
-    base = df.select(okey, *[F.col(c) for c in includes])
+    base = df.select(okey, *[F.col(c) for c in carry])
     base = base.withColumn(
         "doc_count", F.count(F.lit(1)).over(Window.partitionBy("key"))
     ).withColumn(
@@ -551,6 +559,9 @@ def aggs_to_df(df: DataFrame, aggs: dict[str, Any]) -> DataFrame:
         keys = [F.col(f).alias(f"key_{i}") for i, f in enumerate(fields)]
         out = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("doc_count"), *metrics)
         order = body.get("order") or {"_count": "desc"}
+        if isinstance(order, list):  # Elastic also accepts a list of
+            # single-key dicts; flatten preserving precedence
+            order = {k: v for d in order for k, v in d.items()}
         sort_exprs: list[Column] = []
         for k, v in order.items():
             if k == "_count":

@@ -401,6 +401,20 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # labels changed in the FINAL round — that round may itself
+        # have reached the fixpoint, which only a quiet confirmation
+        # round can establish; run one before declaring failure
+        nbr_min = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        changed = (
+            labels.join(nbr_min, labels["id"] == nbr_min["src"])
+            .filter(F.col("nbr_component") < F.col("component"))
+            .count()
+        )
     edges.unpersist()
     if changed != 0:
         msg = (

@@ -14,15 +14,46 @@ Guarantees (standard CM): estimates never UNDER-count, and
 P[estimate - true > eps * N] < delta with width = ceil(e / eps),
 depth = ceil(ln(1 / delta)).  The one-sided error is what makes
 `heavy_hitters_exact` exact: filtering candidates at `threshold` by
-sketch estimate keeps every true heavy hitter (no false negatives,
-ever), and the exact recount of the surviving candidates removes the
-false positives — sketch for pruning, recount for truth.
+sketch estimate keeps every true heavy hitter (no false negatives),
+and the exact recount of the surviving candidates removes the false
+positives — sketch for pruning, recount for truth.
+
+NULL items are excluded everywhere (COUNT(col) semantics): they are
+not inserted, not estimable, and not heavy-hitter candidates.
 """
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+class CMSketch(NamedTuple):
+    """A built sketch: the (d, bucket, cnt) table plus the hash
+    parameters it was built with — estimates MUST probe with the same
+    depth/width/seed, so they travel with the data instead of being
+    re-supplied (a silent mismatch would probe wrong buckets and
+    break the never-undercount guarantee)."""
+
+    df: DataFrame
+    depth: int
+    width: int
+    seed: int
+
+
+def _cells(item_col: str, depth: int, width: int, seed: int):
+    return F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("d"),
+                F.pmod(F.xxhash64(F.col(item_col), F.lit(seed + d)), F.lit(width))
+                .alias("bucket"),
+            )
+            for d in range(depth)
+        ]
+    )
 
 
 def cm_sketch(
@@ -31,57 +62,39 @@ def cm_sketch(
     depth: int = 4,
     width: int = 1024,
     seed: int = 7,
-) -> DataFrame:
-    """Build the sketch: DataFrame (d, bucket, cnt) with at most
-    depth*width rows — memory independent of item cardinality.  One
-    scan: each row explodes to its `depth` (row, bucket) cells via a
-    JVM array expression, then one hash aggregation."""
+) -> CMSketch:
+    """Build the sketch: at most depth*width bucket-count rows —
+    memory independent of item cardinality.  One scan: each row
+    explodes to its `depth` (row, bucket) cells via a JVM array
+    expression, then one hash aggregation."""
     assert depth >= 1 and width >= 1
-    cells = F.array(
-        *[
-            F.struct(
-                F.lit(d).alias("d"),
-                F.pmod(F.xxhash64(F.col(item_col), F.lit(seed + d)), F.lit(width))
-                .alias("bucket"),
-            )
-            for d in range(depth)
-        ]
-    )
-    return (
-        df.select(F.explode(cells).alias("c"))
+    table = (
+        df.filter(F.col(item_col).isNotNull())
+        .select(F.explode(_cells(item_col, depth, width, seed)).alias("c"))
         .groupBy(F.col("c.d").alias("d"), F.col("c.bucket").alias("bucket"))
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+    return CMSketch(table, depth, width, seed)
 
 
-def cm_estimate(
-    sketch: DataFrame,
-    items: DataFrame,
-    item_col: str,
-    depth: int = 4,
-    width: int = 1024,
-    seed: int = 7,
-) -> DataFrame:
-    """Estimated count per item in `items`: min over the sketch rows of
-    the item's bucket counts.  The sketch side is depth*width rows —
-    broadcast-sized by construction — so each estimate is a broadcast
-    join, never a scan of the original data.  Items hashing to buckets
-    nothing touched keep cnt 0 via the coalesce."""
-    cells = F.array(
-        *[
-            F.struct(
-                F.lit(d).alias("d"),
-                F.pmod(F.xxhash64(F.col(item_col), F.lit(seed + d)), F.lit(width))
-                .alias("bucket"),
-            )
-            for d in range(depth)
-        ]
+def cm_estimate(sketch: CMSketch, items: DataFrame, item_col: str) -> DataFrame:
+    """Estimated count per (non-null) item in `items`: min over the
+    sketch rows of the item's bucket counts, probed with the SAME
+    parameters the sketch was built with.  The sketch side is
+    depth*width rows — broadcast-sized by construction — so each
+    estimate is a broadcast join, never a scan of the original data.
+    Items hashing to untouched buckets keep cnt 0 via the coalesce."""
+    probes = (
+        items.filter(F.col(item_col).isNotNull())
+        .select(
+            F.col(item_col),
+            F.explode(_cells(item_col, sketch.depth, sketch.width, sketch.seed))
+            .alias("c"),
+        )
+        .select(item_col, F.col("c.d").alias("d"), F.col("c.bucket").alias("bucket"))
     )
-    probes = items.select(
-        F.col(item_col), F.explode(cells).alias("c")
-    ).select(item_col, F.col("c.d").alias("d"), F.col("c.bucket").alias("bucket"))
     return (
-        probes.join(F.broadcast(sketch), ["d", "bucket"], "left")
+        probes.join(F.broadcast(sketch.df), ["d", "bucket"], "left")
         .groupBy(item_col)
         .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est"))
     )
@@ -96,12 +109,12 @@ def heavy_hitters_exact(
     seed: int = 7,
     candidates: DataFrame | None = None,
 ) -> DataFrame:
-    """EXACT items with count >= threshold, sketch-pruned: (1) build
-    the CM sketch (one scan, fixed memory); (2) estimate each
-    candidate and keep those with estimate >= threshold — CM never
-    under-counts, so every true heavy hitter among the candidates
-    survives; (3) exact recount of only the survivors (semi-join) and
-    a final exact filter drops the false positives.
+    """EXACT (non-null) items with count >= threshold, sketch-pruned:
+    (1) build the CM sketch (one scan, fixed memory); (2) estimate
+    each candidate and keep those with estimate >= threshold — CM
+    never under-counts, so every true heavy hitter among the
+    candidates survives; (3) exact recount of only the survivors
+    (semi-join) and a final exact filter drops the false positives.
 
     Honest cost note: with the default candidates (the corpus's own
     distinct items) the candidate enumeration is itself a full
@@ -114,7 +127,7 @@ def heavy_hitters_exact(
     sketch = cm_sketch(df, item_col, depth, width, seed)
     if candidates is None:
         candidates = df.select(item_col).distinct()
-    cand = cm_estimate(sketch, candidates, item_col, depth, width, seed).filter(
+    cand = cm_estimate(sketch, candidates, item_col).filter(
         F.col("est") >= threshold
     )
     exact = (

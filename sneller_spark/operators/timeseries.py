@@ -45,16 +45,25 @@ def asof_join(
     epoch seconds) nulls out matches older than left.t - tolerance.
     `matched_t_col` optionally exposes the matched right timestamp.
     With by=None the series is global and the sort degenerates to a
-    single partition — inherently sequential; supply keys at scale."""
+    single partition — inherently sequential; supply keys at scale.
+
+    The fill carries the matched right ROW as a unit (one struct per
+    right row, last(ignorenulls) over the struct): a NULL field in the
+    matched row stays NULL — it is never papered over by an older
+    non-NULL value — and every value column comes from the SAME
+    matched row, exactly like DuckDB ASOF / merge_asof."""
     by = by or []
     value_cols = value_cols or [
         c for c in right.columns if c != t_col and c not in by
     ]
-    rmap = {c: f"_r_{c}" for c in value_cols}
+    # the whole right row travels as one struct: non-null for every
+    # right row even when its fields are null, so last(ignorenulls)
+    # always picks the latest right ROW, not the latest non-null field
+    rstruct = F.struct(
+        F.col(t_col).alias("_rt"), *[F.col(c).alias(c) for c in value_cols]
+    )
     r = right.select(
-        *[F.col(c) for c in by],
-        F.col(t_col),
-        *[F.col(c).alias(rmap[c]) for c in value_cols],
+        *[F.col(c) for c in by], F.col(t_col), rstruct.alias("_rrow")
     ).withColumn("_side", F.lit(0))
     l = left.withColumn("_side", F.lit(1))
     u = l.unionByName(r, allowMissingColumns=True)
@@ -64,23 +73,16 @@ def asof_join(
         .orderBy(F.col(t_col).asc(), F.col("_side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = u
-    for c in value_cols:
-        filled = filled.withColumn(rmap[c], F.last(rmap[c], ignorenulls=True).over(w))
-    filled = filled.withColumn(
-        "_matched_t",
-        F.last(F.when(F.col("_side") == 0, F.col(t_col)), ignorenulls=True).over(w),
-    )
-    out = filled.filter(F.col("_side") == 1)
+    out = u.withColumn(
+        "_m", F.last("_rrow", ignorenulls=True).over(w)
+    ).filter(F.col("_side") == 1)
     if tolerance is not None:
-        stale = F.col("_matched_t") < (F.col(t_col) - F.lit(tolerance))
-        for c in value_cols:
-            out = out.withColumn(rmap[c], F.when(~stale, F.col(rmap[c])))
-        out = out.withColumn("_matched_t", F.when(~stale, F.col("_matched_t")))
+        stale = F.col("_m._rt") < (F.col(t_col) - F.lit(tolerance))
+        out = out.withColumn("_m", F.when(~stale, F.col("_m")))
     keep = [F.col(c) for c in left.columns]
-    keep += [F.col(rmap[c]).alias(c) for c in value_cols]
+    keep += [F.col(f"_m.{c}").alias(c) for c in value_cols]
     if matched_t_col:
-        keep.append(F.col("_matched_t").alias(matched_t_col))
+        keep.append(F.col("_m._rt").alias(matched_t_col))
     return out.select(*keep)
 
 
@@ -145,7 +147,12 @@ def rollup_time_buckets(
     month reads ~30 day-rows.  That is the continuous-aggregate trick
     that makes multi-granularity dashboards O(rollup) instead of
     O(raw) at 100 TB: the raw table is scanned exactly once no matter
-    how many levels are materialized.  Partials compose losslessly
+    how many levels are materialized (each level is persisted before
+    the next derives from it — without that, lazy lineage would
+    re-execute the raw scan per materialized level; Spark's
+    ContextCleaner releases the caches when the returned DataFrames
+    are garbage-collected, or write each level out and read it back
+    for a durable hierarchy).  Partials compose losslessly
     (sum of sums, sum of counts, min of mins, max of maxs), which is
     also what makes merge_rollup's incremental maintenance exact."""
     key_cols = key_cols or []
@@ -155,6 +162,8 @@ def rollup_time_buckets(
     # weeks straddle month/year boundaries: a month derived from week
     # buckets would be wrong, so 'week' may only terminate the chain
     assert "week" not in grans[:-1], "'week' must be the last granularity"
+
+    from pyspark import StorageLevel
 
     out: dict[str, DataFrame] = {}
     finest = grans[0]
@@ -168,6 +177,8 @@ def rollup_time_buckets(
             F.max(value_col).alias("max_v"),
         )
     )
+    if len(grans) > 1:
+        out[finest] = out[finest].persist(StorageLevel.MEMORY_AND_DISK)
     for prev, gran in zip(grans, grans[1:]):
         out[gran] = (
             out[prev]
@@ -179,6 +190,8 @@ def rollup_time_buckets(
                 F.max("max_v").alias("max_v"),
             )
         )
+        if gran != grans[-1]:
+            out[gran] = out[gran].persist(StorageLevel.MEMORY_AND_DISK)
     return out
 
 

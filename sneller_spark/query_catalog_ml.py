@@ -1320,6 +1320,11 @@ def bucketed_partitionwise_agg(spark, sf_dir):
         f"{sf_dir}|{tok}".encode()
     ).hexdigest()[:10]
     if not spark.catalog.tableExists(table):
+        # a regenerated source gets a fresh identity-keyed table; drop
+        # superseded siblings so warehouse space stays bounded
+        for t in spark.catalog.listTables():
+            if t.name.startswith("pw_agg_lineitem_") and t.name != table:
+                spark.sql(f"DROP TABLE IF EXISTS {t.name}")
         li = load(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
         write_bucketed(li, table, ["l_returnflag"], n_buckets=4)
     agg = bucketed_agg(

@@ -419,3 +419,30 @@ def test_range_with_date_math(ev, spark):
     got = sorted(r["id"] for r in df.filter(query_to_column(q, now=now)).collect())
     # [2024-03-12 00:00, 2024-03-15 00:00) -> days 11,12,13
     assert got == [11, 12, 13]
+
+
+def test_top_hits_sort_field_outside_source(ev):
+    """Elastic sorts and projects independently: sorting on a field
+    not listed in _source.includes must work (and stay out of the
+    output columns)."""
+    body = {"aggs": {"b": {
+        "terms": {"field": "kind", "size": 1},
+        "aggs": {"h": {"top_hits": {
+            "sort": [{"score": {"order": "desc"}}],
+            "size": 1,
+            "_source": {"includes": ["id"]},
+        }}},
+    }}}
+    got = elastic_search(ev, body).toPandas()
+    assert list(got.columns) == ["key", "doc_count", "hit_rank", "id"]
+    assert list(got["id"]) == [3]  # highest-score click
+
+
+def test_multi_terms_order_list_form(ev):
+    """Elastic also writes `order` as a list of single-key dicts."""
+    body = {"aggs": {"mt": {"multi_terms": {
+        "terms": [{"field": "kind"}, {"field": "tag"}],
+        "order": [{"_key": "desc"}], "size": 2,
+    }}}}
+    got = elastic_search(ev, body).toPandas()
+    assert list(got["key_0"]) == ["view", "signup"]

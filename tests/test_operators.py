@@ -755,9 +755,10 @@ def test_cm_sketch_never_undercounts_and_bounds(spark):
         true[w] = true.get(w, 0) + 1
 
     sketch = cm_sketch(df, "word", depth=4, width=1024)
-    assert sketch.count() <= 4 * 1024
+    assert sketch.df.count() <= 4 * 1024
+    assert (sketch.depth, sketch.width) == (4, 1024)
     distinct = spark.createDataFrame([(w,) for w in true], ["word"])
-    est = cm_estimate(sketch, distinct, "word", depth=4, width=1024)
+    est = cm_estimate(sketch, distinct, "word")
     got = {r["word"]: r["est"] for r in est.collect()}
     eps_n = (2.718 / 1024) * n_total
     for w, t in true.items():
@@ -765,7 +766,7 @@ def test_cm_sketch_never_undercounts_and_bounds(spark):
         assert got[w] - t <= max(eps_n * 5, 3), f"gross overcount on {w}"
     # an item never inserted: estimate bounded by collisions only
     ghost = spark.createDataFrame([("never-seen-item",)], ["word"])
-    g = cm_estimate(sketch, ghost, "word", depth=4, width=1024).collect()[0]["est"]
+    g = cm_estimate(sketch, ghost, "word").collect()[0]["est"]
     assert g <= max(eps_n * 5, 3)
 
 
@@ -788,3 +789,37 @@ def test_heavy_hitters_exact_matches_recount(spark):
         }
         expect = {w: c for w, c in true.items() if c >= threshold}
         assert got == expect, threshold
+
+
+def test_asof_join_null_value_in_matched_row(spark):
+    """A matched right row whose value is NULL must yield NULL — not a
+    stale older non-null value — and all value columns must come from
+    the SAME matched row (the review-found fill bug)."""
+    import math
+
+    from sneller_spark.operators.timeseries import asof_join
+
+    left = spark.createDataFrame([(1, 3.0)], ["k", "t"])
+    right = spark.createDataFrame(
+        [(1, 1.0, 5.0, "old"), (1, 2.0, None, "new")], ["k", "t", "v", "tag"]
+    )
+    row = asof_join(
+        left, right, t_col="t", by=["k"], value_cols=["v", "tag"],
+        matched_t_col="mt",
+    ).collect()[0]
+    assert row["tag"] == "new" and row["mt"] == 2.0
+    assert row["v"] is None or (isinstance(row["v"], float) and math.isnan(row["v"]))
+
+
+def test_heavy_hitters_null_items_excluded(spark):
+    """COUNT(col) semantics: NULL items are not insertable, not
+    candidates, and never crash the pipeline."""
+    from sneller_spark.operators.sketch import cm_estimate, cm_sketch, heavy_hitters_exact
+
+    rows = [(None,)] * 50 + [("a",)] * 30 + [("b",)] * 5
+    df = spark.createDataFrame(rows, "word string")
+    got = {r["word"]: r["n"] for r in heavy_hitters_exact(df, "word", 10).collect()}
+    assert got == {"a": 30}
+    sk = cm_sketch(df, "word")
+    est = cm_estimate(sk, df.select("word").distinct(), "word").collect()
+    assert None not in {r["word"] for r in est}

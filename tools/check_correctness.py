@@ -39,9 +39,11 @@ def _canon(pdf: pd.DataFrame) -> list[tuple]:
             elif isinstance(v, float):
                 canon.append(round(v, 9))
             elif isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
-                canon.append(tuple(
-                    x.item() if hasattr(x, "item") else x for x in v
-                ))
+                def _elem(x):
+                    if hasattr(x, "item"):
+                        x = x.item()
+                    return round(x, 9) if isinstance(x, float) else x
+                canon.append(tuple(_elem(x) for x in v))
             elif hasattr(v, "item"):
                 canon.append(v.item())
             else:
