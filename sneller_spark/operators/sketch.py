@@ -77,6 +77,24 @@ def cm_sketch(
     return CMSketch(table, depth, width, seed)
 
 
+def cm_merge(a: CMSketch, b: CMSketch) -> CMSketch:
+    """Merge two sketches built with IDENTICAL parameters: bucket
+    counts add cell-wise, so the merged sketch is exactly the sketch
+    of the concatenated data — the property that lets each shard ship
+    a fixed-size summary instead of its keys."""
+    if (a.depth, a.width, a.seed) != (b.depth, b.width, b.seed):
+        raise ValueError(
+            f"sketch parameter mismatch: {(a.depth, a.width, a.seed)} "
+            f"vs {(b.depth, b.width, b.seed)}"
+        )
+    merged = (
+        a.df.unionByName(b.df)
+        .groupBy("d", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    return CMSketch(merged, a.depth, a.width, a.seed)
+
+
 def cm_estimate(sketch: CMSketch, items: DataFrame, item_col: str) -> DataFrame:
     """Estimated count per (non-null) item in `items`: min over the
     sketch rows of the item's bucket counts, probed with the SAME

@@ -823,3 +823,19 @@ def test_heavy_hitters_null_items_excluded(spark):
     sk = cm_sketch(df, "word")
     est = cm_estimate(sk, df.select("word").distinct(), "word").collect()
     assert None not in {r["word"] for r in est}
+
+
+def test_cm_merge_equals_sketch_of_union(spark):
+    """Merged shard sketches == the sketch of the concatenated data,
+    cell for cell (counts add); parameter mismatch is refused."""
+    from sneller_spark.operators.sketch import cm_merge, cm_sketch
+
+    a = spark.createDataFrame([("x",)] * 7 + [("y",)] * 3, ["w"])
+    b = spark.createDataFrame([("x",)] * 2 + [("z",)] * 5, ["w"])
+    sa, sb = cm_sketch(a, "w", width=64), cm_sketch(b, "w", width=64)
+    merged = cm_merge(sa, sb)
+    full = cm_sketch(a.unionByName(b), "w", width=64)
+    key = lambda df: sorted(map(tuple, df.toPandas().values.tolist()))  # noqa: E731
+    assert key(merged.df) == key(full.df)
+    with pytest.raises(ValueError, match="parameter mismatch"):
+        cm_merge(sa, cm_sketch(b, "w", width=128))
