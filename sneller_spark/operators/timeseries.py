@@ -25,6 +25,7 @@ def asof_join(
     value_cols: list[str] | None = None,
     tolerance: float | None = None,
     matched_t_col: str | None = None,
+    global_chunks: int = 1,
 ) -> DataFrame:
     """Backward as-of join: for every left row, attach `value_cols`
     from the LATEST right row with the same `by` keys and
@@ -51,11 +52,29 @@ def asof_join(
     right row, last(ignorenulls) over the struct): a NULL field in the
     matched row stays NULL — it is never papered over by an older
     non-NULL value — and every value column comes from the SAME
-    matched row, exactly like DuckDB ASOF / merge_asof."""
+    matched row, exactly like DuckDB ASOF / merge_asof.
+
+    With by=None pass `global_chunks` > 1 to run the global series in
+    parallel: rows are range-chunked on t, each chunk fills locally,
+    and a tiny per-chunk carry (the latest right row of every earlier
+    chunk) is broadcast back — two scans + one n_chunks-row window
+    instead of a single-partition sort."""
     by = by or []
+    _reserved = {"_side", "_rrow", "_m", "_chunk", "_carry"}
+    bad = _reserved & (set(left.columns) | set(right.columns))
+    if bad:
+        raise ValueError(
+            f"asof_join: reserved internal column names present in input: {sorted(bad)}"
+        )
     value_cols = value_cols or [
         c for c in right.columns if c != t_col and c not in by
     ]
+    collide = set(value_cols) & set(left.columns)
+    if collide:
+        raise ValueError(
+            "asof_join: value_cols collide with left columns (rename or "
+            f"drop them on one side): {sorted(collide)}"
+        )
     # the whole right row travels as one struct: non-null for every
     # right row even when its fields are null, so last(ignorenulls)
     # always picks the latest right ROW, not the latest non-null field
@@ -68,14 +87,72 @@ def asof_join(
     l = left.withColumn("_side", F.lit(1))
     u = l.unionByName(r, allowMissingColumns=True)
 
-    w = (
-        Window.partitionBy(*[F.col(c) for c in by] or [F.lit(1)])
-        .orderBy(F.col(t_col).asc(), F.col("_side").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    out = u.withColumn(
-        "_m", F.last("_rrow", ignorenulls=True).over(w)
-    ).filter(F.col("_side") == 1)
+    if not by and global_chunks > 1:
+        # parallel global as-of: range-chunk on t so each chunk sorts
+        # independently, then carry each chunk's latest right row
+        # forward.  The carry table has exactly `global_chunks` rows,
+        # so its single-partition window is O(chunks), and it joins
+        # back as a broadcast — the big table is shuffled once on the
+        # chunk id instead of collapsing to one task.
+        tnum = F.col(t_col).cast("double")
+        lo, hi = u.agg(F.min(tnum), F.max(tnum)).first()
+        if lo is None or hi is None or hi <= lo:
+            chunk = F.lit(0)
+        else:
+            width = (hi - lo) / float(global_chunks)
+            chunk = F.least(
+                F.greatest(
+                    F.floor((tnum - F.lit(lo)) / F.lit(width)).cast("int"),
+                    F.lit(0),
+                ),
+                F.lit(global_chunks - 1),
+            )
+        u = u.withColumn("_chunk", chunk)
+        w = (
+            Window.partitionBy("_chunk")
+            .orderBy(F.col(t_col).asc(), F.col("_side").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        filled = u.withColumn("_m", F.last("_rrow", ignorenulls=True).over(w))
+        # latest right row per chunk -> prefix carry over earlier chunks
+        per_chunk = (
+            u.filter(F.col("_side") == 0)
+            .groupBy("_chunk")
+            .agg(
+                F.max_by(
+                    F.col("_rrow"), F.struct(F.col(t_col), F.col("_side"))
+                ).alias("_last")
+            )
+        )
+        # dense spine over ALL chunk ids: a chunk with no right rows is
+        # absent from per_chunk, but its rows still need the carry from
+        # earlier chunks — without the spine they'd join to NULL
+        spine = (
+            left.sparkSession.range(global_chunks)
+            .select(F.col("id").cast("int").alias("_chunk"))
+            .join(per_chunk, "_chunk", "left")
+        )
+        cw = (
+            Window.orderBy(F.asc("_chunk"))
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        carry = spine.select(
+            "_chunk", F.last("_last", ignorenulls=True).over(cw).alias("_carry")
+        )
+        out = (
+            filled.join(F.broadcast(carry), "_chunk", "left")
+            .withColumn("_m", F.coalesce(F.col("_m"), F.col("_carry")))
+            .filter(F.col("_side") == 1)
+        )
+    else:
+        w = (
+            Window.partitionBy(*[F.col(c) for c in by] or [F.lit(1)])
+            .orderBy(F.col(t_col).asc(), F.col("_side").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        out = u.withColumn(
+            "_m", F.last("_rrow", ignorenulls=True).over(w)
+        ).filter(F.col("_side") == 1)
     if tolerance is not None:
         stale = F.col("_m._rt") < (F.col(t_col) - F.lit(tolerance))
         out = out.withColumn("_m", F.when(~stale, F.col("_m")))
@@ -94,6 +171,7 @@ def range_join_bucketed(
     end_col: str,
     by: list[str] | None = None,
     bucket_width: float = 3600.0,
+    max_repl: int = 4096,
 ) -> DataFrame:
     """Range (interval) join: every (point, interval) pair with the
     same `by` keys and start <= t < end — as an EQUI-join, never a
@@ -107,10 +185,36 @@ def range_join_bucketed(
     own), so no dedup pass is needed.  Interval replication is
     ceil(length / bucket_width) + 1 — pick bucket_width near the
     median interval length so replication stays O(1) while bucket
-    cardinality keeps the shuffle balanced."""
+    cardinality keeps the shuffle balanced.
+
+    `max_repl` caps per-interval replication: an interval spanning
+    more than max_repl buckets (a corpus-spanning outlier, or a
+    mis-chosen bucket_width) would explode to millions of rows and
+    flatten one executor — the job FAILS FAST with a ValueError naming
+    the worst interval instead of silently melting.  Raise the cap or
+    widen bucket_width deliberately; the check is one agg over the
+    (unexploded) interval table, O(|intervals|)."""
     assert bucket_width > 0, bucket_width
     by = by or []
+    overlap = (set(points.columns) & set(intervals.columns)) - set(by)
+    if overlap or "_bkt" in points.columns or "_bkt" in intervals.columns:
+        raise ValueError(
+            "range_join_bucketed: non-key column names must be disjoint "
+            f"(and '_bkt' is reserved); overlapping: {sorted(overlap)}"
+        )
     w = float(bucket_width)
+    repl = (
+        F.floor(F.col(end_col) / w).cast("long")
+        - F.floor(F.col(start_col) / w).cast("long")
+        + F.lit(1)
+    )
+    worst = intervals.agg(F.max(repl).alias("m")).first()["m"]
+    if worst is not None and worst > max_repl:
+        raise ValueError(
+            f"range_join_bucketed: an interval spans {worst} buckets "
+            f"(> max_repl={max_repl}) at bucket_width={w}; widen "
+            "bucket_width or raise max_repl deliberately"
+        )
     p = points.withColumn("_bkt", F.floor(F.col(t_col) / w).cast("long"))
     iv = intervals.withColumn(
         "_bkt",

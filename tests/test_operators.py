@@ -839,3 +839,73 @@ def test_cm_merge_equals_sketch_of_union(spark):
     assert key(merged.df) == key(full.df)
     with pytest.raises(ValueError, match="parameter mismatch"):
         cm_merge(sa, cm_sketch(b, "w", width=128))
+
+
+def test_asof_join_global_chunks_equals_serial(spark):
+    """Parallel global as-of (by=None, global_chunks>1) must equal the
+    single-partition path exactly — including chunks that contain NO
+    right rows (the carry must hop over them) — and must run the big
+    window over >1 partition."""
+    from sneller_spark.operators.timeseries import asof_join
+
+    rng = np.random.Generator(np.random.PCG64(21))
+    lrows = [(i, float(t)) for i, t in enumerate(rng.uniform(0, 100, 300))]
+    # right rows only in [0, 30): chunks over (30, 100] are right-empty,
+    # so every left row there must carry the latest right row forward
+    rrows = [(float(t), float(v)) for t, v in
+             zip(rng.uniform(0, 30, 40), rng.uniform(0, 1, 40))]
+    left = spark.createDataFrame(lrows, ["id", "t"])
+    right = spark.createDataFrame(rrows, ["t", "v"])
+
+    serial = asof_join(left, right, t_col="t", by=None, value_cols=["v"],
+                       matched_t_col="mt")
+    par = asof_join(left, right, t_col="t", by=None, value_cols=["v"],
+                    matched_t_col="mt", global_chunks=8)
+    key = lambda df: sorted(map(tuple, df.toPandas().fillna(-1).values.tolist()))  # noqa: E731
+    assert key(par) == key(serial)
+    # the chunked window really is partitioned by _chunk, not _w=1
+    plan = par._jdf.queryExecution().executedPlan().toString()
+    assert "_chunk" in plan
+    # tolerance composes with the chunked path too
+    st = asof_join(left, right, t_col="t", by=None, value_cols=["v"],
+                   tolerance=5.0)
+    pt = asof_join(left, right, t_col="t", by=None, value_cols=["v"],
+                   tolerance=5.0, global_chunks=8)
+    assert key(pt) == key(st)
+
+
+def test_asof_join_rejects_reserved_and_colliding_names(spark):
+    from sneller_spark.operators.timeseries import asof_join
+
+    left = spark.createDataFrame([(1, 1.0)], ["k", "t"])
+    bad_right = spark.createDataFrame([(1, 1.0, 2.0)], ["k", "t", "_rrow"])
+    with pytest.raises(ValueError, match="reserved"):
+        asof_join(left, bad_right, t_col="t", by=["k"])
+    # value column sharing a name with a left column
+    left2 = spark.createDataFrame([(1, 1.0, 9.0)], ["k", "t", "v"])
+    right2 = spark.createDataFrame([(1, 1.0, 2.0)], ["k", "t", "v"])
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left2, right2, t_col="t", by=["k"], value_cols=["v"])
+
+
+def test_range_join_replication_cap_and_name_guard(spark):
+    """A corpus-spanning interval (pathological replication) fails fast
+    with a clear error instead of exploding; overlapping non-key column
+    names are rejected before the join can produce ambiguous output."""
+    from sneller_spark.operators.timeseries import range_join_bucketed
+
+    points = spark.createDataFrame([(1, 50.0)], ["k", "t"])
+    huge = spark.createDataFrame([(1, 0.0, 1e9)], ["k", "s", "e"])
+    with pytest.raises(ValueError, match="max_repl"):
+        range_join_bucketed(points, huge, t_col="t", start_col="s",
+                            end_col="e", by=["k"], bucket_width=1.0,
+                            max_repl=100)
+    # raising the cap deliberately lets it run
+    ok = range_join_bucketed(points, huge, t_col="t", start_col="s",
+                             end_col="e", by=["k"], bucket_width=1e8,
+                             max_repl=100)
+    assert ok.count() == 1
+    clash = spark.createDataFrame([(1, 0.0, 10.0, 7.0)], ["k", "s", "e", "t"])
+    with pytest.raises(ValueError, match="disjoint"):
+        range_join_bucketed(points, clash, t_col="t", start_col="s",
+                            end_col="e", by=["k"])
