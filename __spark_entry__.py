@@ -35,7 +35,12 @@ from sneller_spark.session import ship_package  # noqa: E402
 # dedup / ANN / text / geo / fuzzy families that register last.  This
 # list reorders ONLY the iteration order of queries()/oracle_sql();
 # entry semantics and registration are untouched.  Every name here is
-# oracle-backed (value-checked, not rows-only).
+# oracle-backed (value-checked, not rows-only).  Round 5 rotates in the
+# round-4 newcomers (hypertable rollup, sketch heavy hitters, the four
+# new elastic aggs) per VERDICT r4 item 3; the six rotated out
+# (percentile_exact, regexp_similar_to, date_trunc_day_agg,
+# geo_tile_functions, elastic_nested_terms_agg, curation_mixture_sample)
+# stay oracle-green in tools/check_correctness.py's full-catalog run.
 # ---------------------------------------------------------------------
 _PRIORITY = [
     # scans / projections / predicates
@@ -43,8 +48,9 @@ _PRIORITY = [
     # aggregations
     "agg_q1_pricing_summary",
     "agg_filter_clause", "bit_bool_aggs", "count_distinct_exact",
-    "percentile_exact", "grouping_rollup",
+    "grouping_rollup",
     "bucketed_partitionwise_agg",
+    "hypertable_rollup_day_from_hour", "sketch_heavy_hitters_exact",
     # joins (incl. the round-4 time-series joins)
     "broadcast_join_agg", "join_three_way_star",
     "semi_join_in_subquery", "anti_join_not_exists",
@@ -56,13 +62,14 @@ _PRIORITY = [
     # set ops / unnest / pivot
     "union_all_append", "explode_words_topk",
     # scalar builtin families
-    "like_contains_ci", "regexp_similar_to",
-    "contains_fuzzy_parts", "date_trunc_day_agg",
+    "like_contains_ci",
+    "contains_fuzzy_parts",
     "hash_lookup_inline",
-    "geo_tile_functions", "ip_subnet_filter", "datashape_profile",
+    "ip_subnet_filter", "datashape_profile",
     # Elastic DSL adapter (elasticproxy analog)
     "elastic_terms_agg", "elastic_date_histogram_day",
-    "elastic_nested_terms_agg",
+    "elastic_top_hits", "elastic_multi_terms_agg",
+    "elastic_bucket_script_sort", "elastic_geotile_grid",
     # flagship DAG + routed-row equality (the north-rule checks)
     "tokens_pipeline_flagship", "routed_rows_equality",
     # dedup / similarity / text / curation (LLM-data-pipeline families)
@@ -73,7 +80,7 @@ _PRIORITY = [
     "curation_hash_split", "curation_decontaminate",
     "sequence_packing_bins", "text_unigram_logprob",
     "curation_paragraph_dedup", "text_repetition_metrics",
-    "tokens_ngram_topk", "curation_mixture_sample",
+    "tokens_ngram_topk",
 ]
 assert len(_PRIORITY) == 50
 
