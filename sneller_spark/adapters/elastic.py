@@ -471,6 +471,11 @@ def _top_hits_df(
     for s in spec.get("sort", []):
         (fld, o), = s.items() if isinstance(s, dict) else ((s, "asc"),)
         order = o.get("order", "asc") if isinstance(o, dict) else o
+        # the bucket field is renamed to 'key' before the window; a
+        # sort on it is constant within a bucket but legal DSL — map
+        # it instead of letting the window raise unresolved-column
+        if fld == outer_body["field"]:
+            fld = "key"
         sort_exprs.append(F.desc(fld) if order == "desc" else F.asc(fld))
     if not sort_exprs:
         raise ElasticDslError("top_hits needs a sort (hits have no score here)")

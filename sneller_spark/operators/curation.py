@@ -170,6 +170,7 @@ def paragraph_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     sep: str = "\n\n",
+    hash_keys: bool = False,
 ) -> DataFrame:
     """Corpus-wide PARAGRAPH-level exact dedup — the sub-document
     dedup step real pretraining pipelines run after doc-level dedup
@@ -188,10 +189,17 @@ def paragraph_dedup(
     (the keep-first window), one groupBy on the doc id for
     reassembly.  Paragraph-key skew (an empire of identical ''
     boilerplate) is bounded because the window computes only
-    row_number over each key.  At 100 TB, hash the paragraph
-    (xxhash64) into the window key instead of the raw text to shrink
-    shuffle payloads — kept as raw text here so the DuckDB oracle can
-    reproduce it exactly."""
+    row_number over each key.  At 100 TB pass ``hash_keys=True``: the
+    keep-first window keys on xxhash64(paragraph) so the Exchange
+    carries an 8-byte key instead of the full paragraph text (the text
+    still travels once as payload for reassembly — the savings is the
+    sort/compare key and the hash-partitioner input, which dominate
+    shuffle CPU).  xxhash64 collisions (~2^-64 per pair) would merge
+    two distinct paragraphs; at pretraining corpus sizes (~2^40 paras)
+    the birthday bound keeps expected collisions ≪ 1, the standard
+    trade every MinHash-based pipeline already makes.  Default stays
+    raw text so the DuckDB oracle reproduces it exactly; pytest proves
+    both modes identical on a duplicated-paragraph corpus."""
     import re as _re
 
     paras = df.select(
@@ -200,7 +208,8 @@ def paragraph_dedup(
             "_pos", "_para"
         ),
     ).filter(F.length("_para") > 0)
-    w = Window.partitionBy("_para").orderBy(F.asc("_id"), F.asc("_pos"))
+    key = F.xxhash64("_para") if hash_keys else F.col("_para")
+    w = Window.partitionBy(key).orderBy(F.asc("_id"), F.asc("_pos"))
     kept = paras.withColumn("_rn", F.row_number().over(w)).filter(
         F.col("_rn") == 1
     )
@@ -235,7 +244,14 @@ def deterministic_sample(
     rows, and two pipelines sampling with the same salt select the
     same subset (so features computed in separate jobs line up).
     Change `salt` to draw an independent sample.  Pure map stage: no
-    shuffle, no state, scales with partition count."""
+    shuffle, no state, scales with partition count.
+
+    Rows with a NULL `id_col` have no stable identity to hash, so no
+    deterministic keep/drop decision exists for them — they are ALWAYS
+    DROPPED (md5(NULL) is NULL and the bucket comparison filters the
+    row).  Fill or synthesize ids upstream if NULL-keyed rows must
+    participate; the explicit contract keeps membership a pure
+    function of the key."""
     assert 0.0 <= fraction <= 1.0, fraction
     cut = int(round(fraction * _SPLIT_BUCKETS))
     return df.filter(split_bucket_col(F.col(id_col), salt) < cut)
@@ -255,7 +271,8 @@ def mixture_sample(
     deterministic_sample.  Strata absent from `fractions` fall back to
     `default_fraction`.  The per-stratum cutoff is a CASE expression
     over the (tiny, driver-side) fractions dict — still a pure map
-    stage, no shuffle, no join."""
+    stage, no shuffle, no join.  NULL `id_col` rows are always dropped
+    (same contract and rationale as deterministic_sample)."""
     bucket = split_bucket_col(F.col(id_col), salt)
     cut = F.lit(int(round(default_fraction * _SPLIT_BUCKETS)))
     for name, frac in fractions.items():

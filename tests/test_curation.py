@@ -222,3 +222,45 @@ def test_pack_sequences_partition_isolation(spark):
     # each source packs independently from bin 0
     for _, sub in got.groupby("source"):
         assert sub["pack_bin"].min() == 0
+
+
+def test_paragraph_dedup_hash_keys_identical_and_hashed_exchange(spark):
+    """hash_keys=True must give byte-identical output to the raw-text
+    path on a corpus dense with duplicate paragraphs, while the
+    keep-first window's Exchange keys on xxhash64 instead of the text."""
+    import numpy as np
+
+    from sneller_spark.operators.curation import paragraph_dedup
+
+    rng = np.random.Generator(np.random.PCG64(33))
+    pool = [f"paragraph number {i} with some shared boilerplate" for i in range(20)]
+    rows = []
+    for d in range(60):
+        k = int(rng.integers(1, 6))
+        paras = [pool[int(j)] for j in rng.integers(0, len(pool), k)]
+        rows.append((d, "\n\n".join(paras)))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    raw = paragraph_dedup(df).toPandas().set_index("doc_id").sort_index()
+    hashed_df = paragraph_dedup(df, hash_keys=True)
+    hashed = hashed_df.toPandas().set_index("doc_id").sort_index()
+    assert raw.equals(hashed)
+    plan = hashed_df._jdf.queryExecution().executedPlan().toString()
+    assert "xxhash64(_para" in plan
+
+
+def test_samplers_drop_null_ids_by_contract(spark):
+    """NULL ids have no stable identity to hash: both samplers drop
+    them at every fraction, including fraction=1.0 (documented)."""
+    from sneller_spark.operators.curation import (
+        deterministic_sample,
+        mixture_sample,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "s"), (None, "s"), ("b", "s")], ["id", "src"]
+    )
+    kept = deterministic_sample(df, "id", 1.0).toPandas()
+    assert set(kept["id"]) == {"a", "b"}
+    kept2 = mixture_sample(df, "id", "src", {"s": 1.0}).toPandas()
+    assert set(kept2["id"]) == {"a", "b"}

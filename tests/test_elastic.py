@@ -446,3 +446,22 @@ def test_multi_terms_order_list_form(ev):
     }}}}
     got = elastic_search(ev, body).toPandas()
     assert list(got["key_0"]) == ["view", "signup"]
+
+
+def test_top_hits_sort_on_bucket_field_itself(ev):
+    """A top_hits sort on the terms field itself (constant within each
+    bucket, but legal DSL) maps to the renamed 'key' column instead of
+    raising an unresolved-column AnalysisException; ties fall to the
+    secondary sort."""
+    body = {"aggs": {"b": {
+        "terms": {"field": "kind", "size": 1},
+        "aggs": {"h": {"top_hits": {
+            "sort": [{"kind": {"order": "asc"}},
+                     {"score": {"order": "desc"}}],
+            "size": 2,
+            "_source": {"includes": ["id"]},
+        }}},
+    }}}
+    got = elastic_search(ev, body).toPandas()
+    assert list(got.columns) == ["key", "doc_count", "hit_rank", "id"]
+    assert list(got["id"]) == [3, 6]  # clicks by score desc
