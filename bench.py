@@ -53,6 +53,13 @@ HEADLINE_QUERIES = [
     "embedding_cosine_near_dup_blocked",
     "minhash_lsh_candidates",
     "time_bucket_epoch",
+    # round-4 operator tier: tracked so regressions in the new ops are
+    # as visible round-over-round as the original fourteen
+    "asof_join_latest_value",
+    "range_join_first_day_counts",
+    "hypertable_rollup_day_from_hour",
+    "curation_paragraph_dedup",
+    "sketch_heavy_hitters_exact",
 ]
 
 

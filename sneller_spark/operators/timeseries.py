@@ -190,10 +190,11 @@ def range_join_bucketed(
     `max_repl` caps per-interval replication: an interval spanning
     more than max_repl buckets (a corpus-spanning outlier, or a
     mis-chosen bucket_width) would explode to millions of rows and
-    flatten one executor — the job FAILS FAST with a ValueError naming
-    the worst interval instead of silently melting.  Raise the cap or
-    widen bucket_width deliberately; the check is one agg over the
-    (unexploded) interval table, O(|intervals|)."""
+    flatten one executor — the offending row FAILS FAST with a clear
+    runtime error naming its bucket span instead of silently melting.
+    The guard is an in-plan assert_true on the pre-explode row — zero
+    extra jobs, zero cost when every interval is sane.  Raise the cap
+    or widen bucket_width deliberately."""
     assert bucket_width > 0, bucket_width
     by = by or []
     overlap = (set(points.columns) & set(intervals.columns)) - set(by)
@@ -203,27 +204,24 @@ def range_join_bucketed(
             f"(and '_bkt' is reserved); overlapping: {sorted(overlap)}"
         )
     w = float(bucket_width)
-    repl = (
-        F.floor(F.col(end_col) / w).cast("long")
-        - F.floor(F.col(start_col) / w).cast("long")
-        + F.lit(1)
-    )
-    worst = intervals.agg(F.max(repl).alias("m")).first()["m"]
-    if worst is not None and worst > max_repl:
-        raise ValueError(
-            f"range_join_bucketed: an interval spans {worst} buckets "
-            f"(> max_repl={max_repl}) at bucket_width={w}; widen "
-            "bucket_width or raise max_repl deliberately"
-        )
     p = points.withColumn("_bkt", F.floor(F.col(t_col) / w).cast("long"))
+    start_bkt = F.floor(F.col(start_col) / w).cast("long")
+    end_bkt = F.floor(F.col(end_col) / w).cast("long")
+    repl = end_bkt - start_bkt + F.lit(1)
+    guard = F.assert_true(
+        repl <= F.lit(int(max_repl)),
+        F.concat(
+            F.lit("range_join_bucketed: interval spans "),
+            repl.cast("string"),
+            F.lit(
+                f" buckets > max_repl={int(max_repl)} at bucket_width={w};"
+                " widen bucket_width or raise max_repl deliberately"
+            ),
+        ),
+    )
     iv = intervals.withColumn(
         "_bkt",
-        F.explode(
-            F.sequence(
-                F.floor(F.col(start_col) / w).cast("long"),
-                F.floor(F.col(end_col) / w).cast("long"),
-            )
-        ),
+        F.explode(F.when(guard.isNull(), F.sequence(start_bkt, end_bkt))),
     )
     joined = p.join(iv, on=by + ["_bkt"], how="inner").filter(
         (F.col(t_col) >= F.col(start_col)) & (F.col(t_col) < F.col(end_col))

@@ -896,10 +896,12 @@ def test_range_join_replication_cap_and_name_guard(spark):
 
     points = spark.createDataFrame([(1, 50.0)], ["k", "t"])
     huge = spark.createDataFrame([(1, 0.0, 1e9)], ["k", "s", "e"])
-    with pytest.raises(ValueError, match="max_repl"):
+    # the guard is IN-PLAN (assert_true — zero extra jobs), so the
+    # failure surfaces at action time with the max_repl message
+    with pytest.raises(Exception, match="max_repl"):
         range_join_bucketed(points, huge, t_col="t", start_col="s",
                             end_col="e", by=["k"], bucket_width=1.0,
-                            max_repl=100)
+                            max_repl=100).count()
     # raising the cap deliberately lets it run
     ok = range_join_bucketed(points, huge, t_col="t", start_col="s",
                              end_col="e", by=["k"], bucket_width=1e8,
