@@ -29,6 +29,7 @@ from .route import route_stage
 
 ROUTED_SUBDIR = "routed"
 AGG_SUBDIR = "aggregates"
+SKETCH_SUBDIR = "sketches"
 
 # Output-layout version: bumped whenever the unit-id scheme changes.
 # The final aggregate reads the WHOLE routed dir and total_stats() sums
@@ -158,6 +159,54 @@ def _written_file_rows(unit_dir: str) -> tuple[dict[str, int], dict[str, int]]:
     return per_sink, per_file
 
 
+def _sketch_params_marker(sketch_dir: str, depth: int, width: int, seed: int) -> None:
+    """Stamp (or validate) the sketch hash parameters for an output
+    dir: every unit's sketch must probe identical (depth, width, seed)
+    or the cell-wise merge would be garbage — a resume with different
+    parameters is refused, mirroring cm_merge's own check."""
+    import json
+
+    marker = os.path.join(sketch_dir, "_params.json")
+    want = {"depth": depth, "width": width, "seed": seed}
+    if os.path.exists(marker):
+        with open(marker) as f:
+            have = json.load(f)
+        if have != want:
+            raise ValueError(
+                f"sketch parameter mismatch on resume: dir has {have}, "
+                f"run requested {want}; use a fresh out_dir or match them"
+            )
+        return
+    os.makedirs(sketch_dir, exist_ok=True)
+    tmp = f"{marker}.{os.getpid()}.tmp"
+    with open(tmp, "w") as f:
+        json.dump(want, f)
+    os.replace(tmp, marker)
+
+
+def read_merged_sketch(spark: SparkSession, out_dir: str):
+    """Union every committed unit's CM sketch and fold cell-wise —
+    the n-way cm_merge.  Input is units x depth x width bucket rows
+    (fixed size per unit, independent of unit cardinality), so the
+    merge cost never grows with data volume: this is the
+    shipped-summary story — each ingest unit ships a fixed-size
+    frequency summary, and corpus-wide heavy-hitter pruning runs on
+    the merged summary without re-reading the corpus."""
+    import json
+
+    from ..operators.sketch import CMSketch
+
+    sketch_dir = os.path.join(out_dir, SKETCH_SUBDIR)
+    with open(os.path.join(sketch_dir, "_params.json")) as f:
+        p = json.load(f)
+    merged = (
+        spark.read.parquet(sketch_dir)
+        .groupBy("d", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    return CMSketch(merged, p["depth"], p["width"], p["seed"])
+
+
 def run_pipeline(
     spark: SparkSession,
     input_path: str,
@@ -166,11 +215,21 @@ def run_pipeline(
     max_units: int | None = None,
     salted: bool = True,
     salt_buckets: int = 16,
+    sketch_col: str | None = None,
+    sketch_params: tuple[int, int, int] = (4, 1024, 7),
 ) -> dict:
     """Run (or resume) the pipeline over an input table directory.
 
     Returns ExecStats-style metrics.  ``max_units`` caps how many units
     this invocation processes — used by tests to simulate a killed job.
+
+    ``sketch_col`` opts into per-unit count-min sketches: each unit
+    writes a fixed-size (depth x width) frequency summary of that
+    column alongside its routed output (before the unit commits, so a
+    committed unit always has its sketch; overwrite keeps re-runs
+    idempotent).  ``read_merged_sketch`` folds them corpus-wide —
+    heavy-hitter candidates then come from the merged summary instead
+    of a second pass over the routed table.
     """
     log = LineageLog(out_dir)
     routed_dir = os.path.join(out_dir, ROUTED_SUBDIR)
@@ -184,6 +243,10 @@ def run_pipeline(
     if max_units is not None:
         todo = todo[:max_units]
 
+    sketch_dir = os.path.join(out_dir, SKETCH_SUBDIR)
+    if sketch_col is not None:
+        _sketch_params_marker(sketch_dir, *sketch_params)
+
     for unit_id, files in todo:
         t0 = time.monotonic()
         # rows_in via observe(): collected during the write pass below,
@@ -196,6 +259,22 @@ def run_pipeline(
         unit_dir = os.path.join(routed_dir, f"unit={unit_id}")
         # idempotent overwrite of THIS unit's directory only
         routed.write.mode("overwrite").partitionBy("sink_id").parquet(unit_dir)
+
+        if sketch_col is not None:
+            # sketch from the just-written unit output (column-pruned
+            # read of one column's pages), BEFORE the commit below:
+            # a committed unit therefore always has a durable sketch,
+            # and the overwrite keeps a re-processed unit idempotent
+            from ..operators.sketch import cm_sketch
+
+            depth, width, seed = sketch_params
+            sk = cm_sketch(
+                spark.read.parquet(unit_dir).select(sketch_col),
+                sketch_col, depth=depth, width=width, seed=seed,
+            )
+            sk.df.write.mode("overwrite").parquet(
+                os.path.join(sketch_dir, f"unit={unit_id}")
+            )
 
         # lineage + metrics from parquet footers of the files just
         # written (counts exactly what was committed, zero extra scans)

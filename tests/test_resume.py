@@ -246,3 +246,54 @@ def test_same_basename_different_dirs_not_confused(spark, tmp_path):
     got = _norm(read_aggregates(spark, out).toPandas())
     _, exp = run_oracle(generate_chunk(0, 2000))
     pd.testing.assert_frame_equal(got, _norm(exp))
+
+
+def test_unit_sketches_merge_to_whole_corpus(spark, input_dir, tmp_path):
+    """Per-unit CM sketches written during (killed + resumed) ingest
+    merge — cell for cell — into the sketch of the whole routed
+    corpus, and heavy hitters pruned by the merged summary equal the
+    whole-corpus exact recount.  This is the shipped-summary contract:
+    each unit ships a fixed-size summary; corpus-wide pruning never
+    re-reads the corpus."""
+    from pyspark.sql import functions as F
+
+    from sneller_spark.operators.sketch import cm_estimate, cm_sketch
+    from sneller_spark.pipeline.runner import read_merged_sketch, read_routed
+
+    out = str(tmp_path / "sk")
+    p1 = run_pipeline(spark, input_dir, out, max_units=2, sketch_col="source")
+    assert p1["units_processed_this_run"] == 2
+    p2 = run_pipeline(spark, input_dir, out, sketch_col="source")
+    assert p2["units"] == FILES
+
+    merged = read_merged_sketch(spark, out)
+    routed = read_routed(spark, out)
+    whole = cm_sketch(routed, "source",
+                      depth=merged.depth, width=merged.width, seed=merged.seed)
+    cell = lambda df: sorted(  # noqa: E731
+        map(tuple, df.select("d", "bucket", "cnt").toPandas().values.tolist())
+    )
+    assert cell(merged.df) == cell(whole.df)
+
+    # heavy hitters from the merged summary == exact recount
+    threshold = 500
+    cand = cm_estimate(
+        merged, routed.select("source").distinct(), "source"
+    ).filter(F.col("est") >= threshold)
+    got = {
+        (r["source"], r["n"])
+        for r in routed.join(cand.select("source"), "source", "left_semi")
+        .groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= threshold).collect()
+    }
+    expect = {
+        (r["source"], r["n"])
+        for r in routed.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= threshold).collect()
+    }
+    assert got == expect and got  # non-vacuous
+
+    # parameter mismatch on resume is refused, mirroring cm_merge
+    with pytest.raises(ValueError, match="sketch parameter mismatch"):
+        run_pipeline(spark, input_dir, out, sketch_col="source",
+                     sketch_params=(4, 2048, 7))
