@@ -20,6 +20,12 @@ Layout:
   sneller_spark.functions scalar builtin analogs (vector distances,
                           IS_SUBNET_OF, fuzzy matching, ...)
   sneller_spark.sources   readers / writers / table-glob / append
+  sneller_spark.sql_registry
+                          SQL veneer: the scalar surface as Catalyst-
+                          inlined SQL UDFs (CREATE TEMPORARY FUNCTION),
+                          mirroring the reference's SQL-first posture
 """
 
 __version__ = "0.1.0"
+
+from .sql_registry import register_sql_functions  # noqa: E402,F401
