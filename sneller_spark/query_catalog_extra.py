@@ -622,3 +622,72 @@ def grouping_cube(spark, sf_dir):
         F.grouping("l_linestatus").alias("g2"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# =====================================================================
+# SQL veneer (sql_registry.py) exercised end-to-end as SQL text — the
+# reference's SQL-first surface (expr/partiql/partiql.y) over the same
+# operators the DataFrame catalog verifies
+# =====================================================================
+
+@register(
+    "sql_veneer_bucket_subnet_agg",
+    """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+              COUNT(*) FILTER (WHERE user_id % 4 = 1) AS n_in_subnet,
+              COUNT(*) AS n
+       FROM events GROUP BY 1""",
+)
+def sql_veneer_bucket_subnet_agg(spark, sf_dir):
+    """The SQL veneer end-to-end: TIME_BUCKET + IS_SUBNET_OF called as
+    registered SQL UDFs (sql_registry.py) in a plain SQL-text query —
+    the reference's PartiQL-style spelling.  The functions inline into
+    Catalyst (no Python boundary; plan-asserted in
+    tests/test_sql_veneer.py).  Membership in 10.1.0.0/16 for the
+    synthesized ips is exactly user_id % 4 == 1, which is how the
+    oracle cross-checks the bit math."""
+    from .sql_registry import register_sql_functions
+
+    register_sql_functions(spark)
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        """
+        SELECT CAST(CAST(time_bucket(ts, 86400) AS DATE) AS STRING) AS day,
+               COUNT(*) FILTER (WHERE is_subnet_of('10.1.0.0/16', ip)) AS n_in_subnet,
+               COUNT(*) AS n
+        FROM (
+          SELECT ts,
+                 concat_ws('.', '10', CAST(user_id % 4 AS STRING),
+                           CAST(event_id % 256 AS STRING), '1') AS ip
+          FROM events)
+        GROUP BY 1
+        """
+    )
+
+
+@register(
+    "sql_veneer_split_label_counts",
+    """SELECT CASE WHEN b < 8000 THEN 'train'
+                   WHEN b < 9000 THEN 'val'
+                   ELSE 'test' END AS split,
+              COUNT(*) AS n
+       FROM (
+         SELECT ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                % 10000 AS b
+         FROM documents)
+       GROUP BY 1""",
+)
+def sql_veneer_split_label_counts(spark, sf_dir):
+    """SPLIT_LABEL as a SQL UDF (sql_registry.py): the 80/10/10
+    train/val/test assignment in one scalar call, value-checked
+    against DuckDB reproducing the md5-bucket arithmetic."""
+    from .sql_registry import register_sql_functions
+
+    register_sql_functions(spark)
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        """
+        SELECT split_label(CAST(doc_id AS STRING), '', 0.8d, 0.1d) AS split,
+               COUNT(*) AS n
+        FROM documents GROUP BY 1
+        """
+    )
