@@ -41,6 +41,11 @@ from sneller_spark.session import ship_package  # noqa: E402
 # (percentile_exact, regexp_similar_to, date_trunc_day_agg,
 # geo_tile_functions, elastic_nested_terms_agg, curation_mixture_sample)
 # stay oracle-green in tools/check_correctness.py's full-catalog run.
+# Round 5 additionally swaps in the two SQL-veneer entries
+# (sql_veneer_bucket_subnet_agg, sql_veneer_split_label_counts) for
+# like_contains_ci (LIKE/ILIKE keep 10+ golden cases + full-catalog
+# oracle) and curation_hash_split (same md5-split family as the veneer
+# entry; still oracle-green in the full run).
 # ---------------------------------------------------------------------
 _PRIORITY = [
     # scans / projections / predicates
@@ -61,8 +66,9 @@ _PRIORITY = [
     "sessionization_gaps",
     # set ops / unnest / pivot
     "union_all_append", "explode_words_topk",
-    # scalar builtin families
-    "like_contains_ci",
+    # scalar builtin families (sql_veneer_*: the round-5 SQL-text
+    # front end — registered SQL UDFs run as plain SQL, oracle-checked)
+    "sql_veneer_bucket_subnet_agg",
     "contains_fuzzy_parts",
     "hash_lookup_inline",
     "ip_subnet_filter", "datashape_profile",
@@ -77,7 +83,7 @@ _PRIORITY = [
     "dedup_connected_components",
     "ann_cosine_topk_brute", "embedding_cosine_near_dup_blocked",
     "language_id_heuristic", "near_dedup_surviving_rows",
-    "curation_hash_split", "curation_decontaminate",
+    "sql_veneer_split_label_counts", "curation_decontaminate",
     "sequence_packing_bins", "text_unigram_logprob",
     "curation_paragraph_dedup", "text_repetition_metrics",
     "tokens_ngram_topk",
