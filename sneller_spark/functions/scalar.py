@@ -156,19 +156,27 @@ def cosine_distance(a: Column, b: Column) -> Column:
 # ---------------------------------------------------------------------
 
 def time_bucket(ts: Column, seconds: int) -> Column:
-    """TIME_BUCKET(interval, ts) -> epoch-aligned bucket start (ts)."""
-    return F.timestamp_seconds(
-        F.floor(F.unix_timestamp(ts) / seconds) * seconds
-    )
+    """TIME_BUCKET(interval, ts) -> epoch-aligned bucket start (ts).
+
+    Full-microsecond precision, exact integer arithmetic: the bucket is
+    ``m - pmod(m, b)`` over unix_micros (floor-mod, so pre-epoch
+    timestamps floor correctly too) — a fractional-second timestamp
+    just below a boundary lands in the earlier bucket, matching the
+    reference's DATE_BIN at full timestamp precision
+    (expr/builtin.go:1155-1170)."""
+    b = F.lit(int(seconds) * 1_000_000)
+    m = F.unix_micros(ts)
+    return F.timestamp_micros(m - F.pmod(m, b))
 
 
 def date_bin(ts: Column, seconds: int, origin: str = "1970-01-01 00:00:00") -> Column:
     """DATE_BIN(interval, ts, origin): floor ts into interval-sized
-    bins anchored at origin."""
-    og = F.unix_timestamp(F.lit(origin))
-    return F.timestamp_seconds(
-        F.floor((F.unix_timestamp(ts) - og) / seconds) * seconds + og
-    )
+    bins anchored at origin.  Exact micros arithmetic (see
+    time_bucket)."""
+    og = F.unix_micros(F.lit(origin).cast("timestamp"))
+    m = F.unix_micros(ts)
+    b = F.lit(int(seconds) * 1_000_000)
+    return F.timestamp_micros(m - F.pmod(m - og, b))
 
 
 # ---------------------------------------------------------------------

@@ -26,6 +26,7 @@ def asof_join(
     tolerance: float | None = None,
     matched_t_col: str | None = None,
     global_chunks: int = 1,
+    global_bounds: tuple[float, float] | None = None,
 ) -> DataFrame:
     """Backward as-of join: for every left row, attach `value_cols`
     from the LATEST right row with the same `by` keys and
@@ -58,9 +59,14 @@ def asof_join(
     parallel: rows are range-chunked on t, each chunk fills locally,
     and a tiny per-chunk carry (the latest right row of every earlier
     chunk) is broadcast back — two scans + one n_chunks-row window
-    instead of a single-partition sort."""
+    instead of a single-partition sort.  Chunk edges come from a
+    1-row min/max aggregate broadcast-joined IN-PLAN (a pure lazy
+    transformation — no Spark job runs at call time, and a refreshed
+    non-deterministic source cannot be mis-chunked against stale
+    bounds); pass `global_bounds=(lo, hi)` (t cast to double) to skip
+    even that in-plan stats scan, e.g. from parquet footer min/max."""
     by = by or []
-    _reserved = {"_side", "_rrow", "_m", "_chunk", "_carry"}
+    _reserved = {"_side", "_rrow", "_m", "_chunk", "_carry", "_lo", "_hi"}
     bad = _reserved & (set(left.columns) | set(right.columns))
     if bad:
         raise ValueError(
@@ -95,19 +101,35 @@ def asof_join(
         # back as a broadcast — the big table is shuffled once on the
         # chunk id instead of collapsing to one task.
         tnum = F.col(t_col).cast("double")
-        lo, hi = u.agg(F.min(tnum), F.max(tnum)).first()
-        if lo is None or hi is None or hi <= lo:
-            chunk = F.lit(0)
+        if global_bounds is not None:
+            u = u.withColumn(
+                "_lo", F.lit(float(global_bounds[0]))
+            ).withColumn("_hi", F.lit(float(global_bounds[1])))
         else:
-            width = (hi - lo) / float(global_chunks)
-            chunk = F.least(
+            # chunk edges stay IN the plan: a 1-row min/max aggregate
+            # broadcast-joined to every row — one action total, and the
+            # bounds always describe the same data snapshot the main
+            # pass reads (no eager .first() frozen at construction)
+            stats = u.agg(
+                F.min(tnum).alias("_lo"), F.max(tnum).alias("_hi")
+            )
+            u = u.crossJoin(F.broadcast(stats))
+        width = (F.col("_hi") - F.col("_lo")) / F.lit(float(global_chunks))
+        degenerate = (
+            F.col("_lo").isNull()
+            | F.col("_hi").isNull()
+            | (F.col("_hi") <= F.col("_lo"))
+        )
+        chunk = F.when(degenerate, F.lit(0)).otherwise(
+            F.least(
                 F.greatest(
-                    F.floor((tnum - F.lit(lo)) / F.lit(width)).cast("int"),
+                    F.floor((tnum - F.col("_lo")) / width).cast("int"),
                     F.lit(0),
                 ),
                 F.lit(global_chunks - 1),
             )
-        u = u.withColumn("_chunk", chunk)
+        )
+        u = u.withColumn("_chunk", chunk).drop("_lo", "_hi")
         w = (
             Window.partitionBy("_chunk")
             .orderBy(F.col(t_col).asc(), F.col("_side").asc())
@@ -194,7 +216,13 @@ def range_join_bucketed(
     runtime error naming its bucket span instead of silently melting.
     The guard is an in-plan assert_true on the pre-explode row — zero
     extra jobs, zero cost when every interval is sane.  Raise the cap
-    or widen bucket_width deliberately."""
+    or widen bucket_width deliberately.
+
+    Intervals with a NULL start or end are DROPPED, matching standard
+    join semantics for NULL bounds (sequence(NULL, ...) yields NULL
+    and explode skips it); the replication guard is null-safe and only
+    fires on intervals whose span is actually known to exceed the
+    cap."""
     assert bucket_width > 0, bucket_width
     by = by or []
     overlap = (set(points.columns) & set(intervals.columns)) - set(by)
@@ -208,11 +236,15 @@ def range_join_bucketed(
     start_bkt = F.floor(F.col(start_col) / w).cast("long")
     end_bkt = F.floor(F.col(end_col) / w).cast("long")
     repl = end_bkt - start_bkt + F.lit(1)
+    # null-safe: a NULL-bounded interval has repl NULL — coalesce keeps
+    # the assert quiet so the row falls through to sequence(NULL)/explode
+    # (dropped, standard NULL-bound join semantics) instead of aborting
+    # the job; the message is null-safe too so a REAL violation renders
     guard = F.assert_true(
-        repl <= F.lit(int(max_repl)),
+        F.coalesce(repl <= F.lit(int(max_repl)), F.lit(True)),
         F.concat(
             F.lit("range_join_bucketed: interval spans "),
-            repl.cast("string"),
+            F.coalesce(repl.cast("string"), F.lit("NULL")),
             F.lit(
                 f" buckets > max_repl={int(max_repl)} at bucket_width={w};"
                 " widen bucket_width or raise max_repl deliberately"

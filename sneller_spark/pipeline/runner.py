@@ -184,6 +184,19 @@ def _sketch_params_marker(sketch_dir: str, depth: int, width: int, seed: int) ->
     os.replace(tmp, marker)
 
 
+def _write_unit_sketch(
+    col_df: DataFrame, sketch_col: str, unit_sketch_dir: str,
+    sketch_params: tuple[int, int, int],
+) -> None:
+    """Build and durably write one unit's fixed-size CM summary;
+    overwrite keeps re-runs idempotent."""
+    from ..operators.sketch import cm_sketch
+
+    depth, width, seed = sketch_params
+    sk = cm_sketch(col_df, sketch_col, depth=depth, width=width, seed=seed)
+    sk.df.write.mode("overwrite").parquet(unit_sketch_dir)
+
+
 def read_merged_sketch(spark: SparkSession, out_dir: str):
     """Union every committed unit's CM sketch and fold cell-wise —
     the n-way cm_merge.  Input is units x depth x width bucket rows
@@ -191,7 +204,14 @@ def read_merged_sketch(spark: SparkSession, out_dir: str):
     merge cost never grows with data volume: this is the
     shipped-summary story — each ingest unit ships a fixed-size
     frequency summary, and corpus-wide heavy-hitter pruning runs on
-    the merged summary without re-reading the corpus."""
+    the merged summary without re-reading the corpus.
+
+    Coverage is verified against the commit log before merging: a unit
+    committed WITHOUT a sketch (an earlier run without sketch_col, or
+    one predating sketches) would silently undercount the merged
+    summary and break the CM never-undercount guarantee that
+    heavy-hitter pruning's no-false-negatives property rests on —
+    such a gap raises instead of merging."""
     import json
 
     from ..operators.sketch import CMSketch
@@ -199,6 +219,22 @@ def read_merged_sketch(spark: SparkSession, out_dir: str):
     sketch_dir = os.path.join(out_dir, SKETCH_SUBDIR)
     with open(os.path.join(sketch_dir, "_params.json")) as f:
         p = json.load(f)
+    committed = LineageLog(out_dir).committed_units()
+    have = {
+        d[len("unit="):]
+        for d in os.listdir(sketch_dir)
+        if d.startswith("unit=")
+    }
+    missing = sorted(committed - have)
+    if missing:
+        raise ValueError(
+            "read_merged_sketch: committed units lack sketches (written "
+            "by a run without sketch_col?): "
+            f"{missing[:5]}{'...' if len(missing) > 5 else ''}; the merged "
+            "summary would undercount — re-run run_pipeline with "
+            "sketch_col set (it backfills sketches for committed units "
+            "from their routed output without reprocessing them)"
+        )
     merged = (
         spark.read.parquet(sketch_dir)
         .groupBy("d", "bucket")
@@ -235,17 +271,33 @@ def run_pipeline(
     routed_dir = os.path.join(out_dir, ROUTED_SUBDIR)
     units = list_units(input_path)
     _check_layout_version(out_dir, routed_dir, log)
-    todo = [
-        (uid, files)
+    done_ids = {
+        uid
         for uid, files in units
-        if not (resume and log.is_committed(uid, inputs=files))
-    ]
+        if resume and log.is_committed(uid, inputs=files)
+    }
+    todo = [(uid, files) for uid, files in units if uid not in done_ids]
     if max_units is not None:
         todo = todo[:max_units]
 
     sketch_dir = os.path.join(out_dir, SKETCH_SUBDIR)
     if sketch_col is not None:
         _sketch_params_marker(sketch_dir, *sketch_params)
+        # backfill: a unit committed by an earlier run WITHOUT
+        # sketch_col is skipped by resume and would otherwise never get
+        # a sketch, leaving the merged summary a silent undercount
+        # (read_merged_sketch refuses such gaps).  Building from the
+        # unit's routed output is a column-pruned read — no reprocess.
+        for uid in sorted(done_ids):
+            sdir = os.path.join(sketch_dir, f"unit={uid}")
+            if os.path.exists(os.path.join(sdir, "_SUCCESS")):
+                continue
+            _write_unit_sketch(
+                spark.read.parquet(
+                    os.path.join(routed_dir, f"unit={uid}")
+                ).select(sketch_col),
+                sketch_col, sdir, sketch_params,
+            )
 
     for unit_id, files in todo:
         t0 = time.monotonic()
@@ -256,25 +308,28 @@ def run_pipeline(
         df = spark.read.parquet(*files).observe(obs, F.count(F.lit(1)).alias("rows_in"))
         routed = transform(spark, df)
 
+        if sketch_col is not None:
+            # the write below materializes the cache, so the sketch pass
+            # reads cached rows instead of re-reading the written unit
+            # (or re-running the parse kernel); one unit's output is
+            # bounded by the input-file unit size, and spills to disk
+            from pyspark import StorageLevel
+
+            routed = routed.persist(StorageLevel.MEMORY_AND_DISK)
+
         unit_dir = os.path.join(routed_dir, f"unit={unit_id}")
         # idempotent overwrite of THIS unit's directory only
         routed.write.mode("overwrite").partitionBy("sink_id").parquet(unit_dir)
 
         if sketch_col is not None:
-            # sketch from the just-written unit output (column-pruned
-            # read of one column's pages), BEFORE the commit below:
-            # a committed unit therefore always has a durable sketch,
-            # and the overwrite keeps a re-processed unit idempotent
-            from ..operators.sketch import cm_sketch
-
-            depth, width, seed = sketch_params
-            sk = cm_sketch(
-                spark.read.parquet(unit_dir).select(sketch_col),
-                sketch_col, depth=depth, width=width, seed=seed,
+            # sketch BEFORE the commit below: a committed unit therefore
+            # always has a durable sketch, and the overwrite keeps a
+            # re-processed unit idempotent
+            _write_unit_sketch(
+                routed.select(sketch_col), sketch_col,
+                os.path.join(sketch_dir, f"unit={unit_id}"), sketch_params,
             )
-            sk.df.write.mode("overwrite").parquet(
-                os.path.join(sketch_dir, f"unit={unit_id}")
-            )
+            routed.unpersist()
 
         # lineage + metrics from parquet footers of the files just
         # written (counts exactly what was committed, zero extra scans)

@@ -105,14 +105,18 @@ _DEFINITIONS: list[str] = [
        RETURN 1.0d - inner_product(a, b)
                    / (sqrt(inner_product(a, a)) * sqrt(inner_product(b, b)))""",
     # -- time buckets (expr/builtin.go:1155-1170) ---------------------
+    # full-microsecond precision via exact integer floor-mod over
+    # unix_micros (same arithmetic as functions/scalar.py:time_bucket):
+    # a fractional-second ts just below a boundary buckets EARLIER,
+    # matching the reference's full-precision DATE_BIN
     """CREATE OR REPLACE TEMPORARY FUNCTION time_bucket(ts TIMESTAMP, seconds BIGINT)
        RETURNS TIMESTAMP
-       RETURN timestamp_seconds(floor(unix_timestamp(ts) / seconds) * seconds)""",
+       RETURN timestamp_micros(unix_micros(ts)
+                - pmod(unix_micros(ts), seconds * 1000000L))""",
     """CREATE OR REPLACE TEMPORARY FUNCTION date_bin(seconds BIGINT, ts TIMESTAMP, origin TIMESTAMP)
        RETURNS TIMESTAMP
-       RETURN timestamp_seconds(
-                floor((unix_timestamp(ts) - unix_timestamp(origin)) / seconds) * seconds
-                + unix_timestamp(origin))""",
+       RETURN timestamp_micros(unix_micros(ts)
+                - pmod(unix_micros(ts) - unix_micros(origin), seconds * 1000000L))""",
     # -- geo (expr/builtin.go:1183-1188) ------------------------------
     """CREATE OR REPLACE TEMPORARY FUNCTION geo_distance(lat1 DOUBLE, lon1 DOUBLE, lat2 DOUBLE, lon2 DOUBLE)
        RETURNS DOUBLE
