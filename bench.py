@@ -63,6 +63,41 @@ HEADLINE_QUERIES = [
 ]
 
 
+def calibration_probe() -> float:
+    """Seconds for a FIXED single-thread CPU workload (sha256 over
+    64 MiB of constant bytes, no allocation in the loop).  The workload
+    never changes, so probe-time variance across a bench run measures
+    the box, not the code: on an idle machine successive probes agree
+    within a few percent; a co-tenant burst inflates them.  BENCH_r05
+    recorded a 65%% across-the-board phantom regression that took a
+    manual re-run to rule environmental — the probe makes that
+    adjudication part of the official artifact."""
+    import hashlib
+
+    block = b"\xa5" * (1 << 20)
+    t0 = time.monotonic()
+    h = hashlib.sha256()
+    for _ in range(64):
+        h.update(block)
+    assert h.digest()  # keep the loop un-elidable
+    return time.monotonic() - t0
+
+
+def contention_report(probes: list[float], load1: list[float]) -> dict:
+    """Honesty fields: probe spread + load averages.  contention_index
+    is worst/best probe time — ~1.0 on a quiet box; >1.3 means timed
+    sections overlapped a busy window and round-over-round comparisons
+    of THIS artifact need re-run confirmation."""
+    best, worst = min(probes), max(probes)
+    return {
+        "calib_sec_best": round(best, 4),
+        "calib_sec_worst": round(worst, 4),
+        "contention_index": round(worst / best, 3),
+        "load1_samples": [round(x, 2) for x in load1],
+        "os_cpus": os.cpu_count(),
+    }
+
+
 def ensure_input(spark, n_rows: int) -> str:
     """Materialize the pipeline input once (generation is not timed)."""
     path = os.path.join(BENCH_DATA, f"tokens_{n_rows}")
@@ -144,7 +179,13 @@ def bench_pipeline(spark, n_rows: int, rounds: int = 3) -> dict:
     }
 
 
-def bench_queries(spark, sf_dir: str, rounds: int = 3) -> dict[str, float]:
+#: contention-probe samples collected across the run (module-level so
+#: bench_pipeline and bench_queries both append without re-plumbing)
+PROBES: list[float] = []
+LOAD1: list[float] = []
+
+
+def bench_queries(spark, sf_dir: str, rounds: int = 3):
     """Interleaved best-of-N: one warm pass, then `rounds` round-robin
     passes over the whole query list, keeping each query's MIN.  On a
     shared box a single timed sample measures the neighbor's workload
@@ -156,13 +197,17 @@ def bench_queries(spark, sf_dir: str, rounds: int = 3) -> dict[str, float]:
 
     for name in HEADLINE_QUERIES:
         CATALOG[name].fn(spark, sf_dir).collect()  # warm (plan + IO cache)
-    best: dict[str, float] = {n: float("inf") for n in HEADLINE_QUERIES}
+    samples: dict[str, list[float]] = {n: [] for n in HEADLINE_QUERIES}
     for _ in range(rounds):
+        PROBES.append(calibration_probe())
+        LOAD1.append(os.getloadavg()[0])
         for name in HEADLINE_QUERIES:
             t0 = time.monotonic()
             CATALOG[name].fn(spark, sf_dir).collect()
-            best[name] = min(best[name], time.monotonic() - t0)
-    return {n: round(s, 3) for n, s in best.items()}
+            samples[name].append(time.monotonic() - t0)
+    best = {n: round(min(s), 3) for n, s in samples.items()}
+    median = {n: round(sorted(s)[len(s) // 2], 3) for n, s in samples.items()}
+    return best, median
 
 
 def main() -> None:
@@ -177,8 +222,15 @@ def main() -> None:
         shuffle_partitions=CPUS,
     )
     t_all = time.monotonic()
+    PROBES.append(calibration_probe())
+    LOAD1.append(os.getloadavg()[0])
     derived = bench_pipeline(spark, rows, rounds=1 if pipeline_only else 3)
-    queries = {} if pipeline_only else bench_queries(spark, SF_DIR)
+    if pipeline_only:
+        queries, queries_median = {}, {}
+    else:
+        queries, queries_median = bench_queries(spark, SF_DIR)
+    PROBES.append(calibration_probe())
+    LOAD1.append(os.getloadavg()[0])
     total_sec = round(time.monotonic() - t_all, 3)
 
     result = {
@@ -187,9 +239,14 @@ def main() -> None:
         "value": derived["pipeline_agg_sec"],
         "unit": "sec",
         "queries": queries,
+        # per-query MEDIAN of the same interleaved samples: when median
+        # diverges from best across the board, the run was contended —
+        # compare best-to-best round-over-round, never median-to-best
+        "queries_median": queries_median,
         "sf": SF_DIR,
         "cpus": CPUS,
         "derived": derived,
+        "contention": contention_report(PROBES, LOAD1),
         "suite_total_sec": total_sec,
     }
     print(json.dumps(result))
