@@ -35,37 +35,45 @@ from sneller_spark.session import ship_package  # noqa: E402
 # dedup / ANN / text / geo / fuzzy families that register last.  This
 # list reorders ONLY the iteration order of queries()/oracle_sql();
 # entry semantics and registration are untouched.  Every name here is
-# oracle-backed (value-checked, not rows-only).  Round 5 rotates in the
-# round-4 newcomers (hypertable rollup, sketch heavy hitters, the four
-# new elastic aggs) per VERDICT r4 item 3; the six rotated out
-# (percentile_exact, regexp_similar_to, date_trunc_day_agg,
-# geo_tile_functions, elastic_nested_terms_agg, curation_mixture_sample)
-# stay oracle-green in tools/check_correctness.py's full-catalog run.
-# Round 5 additionally swaps in the two SQL-veneer entries
-# (sql_veneer_bucket_subnet_agg, sql_veneer_split_label_counts) for
-# like_contains_ci (LIKE/ILIKE keep 10+ golden cases + full-catalog
-# oracle) and curation_hash_split (same md5-split family as the veneer
-# entry; still oracle-green in the full run).
+# oracle-backed (value-checked, not rows-only).
+#
+# Round 6 rotation (VERDICT r5 item 2): 16 FIRST-TIME names — entries
+# oracle-green in every full tools/check_correctness.py run but never
+# covered by a driver CORRECTNESS row in rounds 1-5 — rotate in:
+#   struct_make_and_access, count_star_metadata, grouping_cube,
+#   window_rolling_frames, window_over_aggregate, unpivot_dynamic_json,
+#   elastic_bool_query_hits, elastic_filters_one_pass,
+#   elastic_filter_single_bucket, docs_pipeline_route_agg (the entry()
+#   flagship itself), tokens_exact_dedup, tokens_unnest_histogram,
+#   embedding_cosine_near_dup_multiband, curation_cap_per_group,
+#   lang_distribution, token_count_stats.
+# The 16 rotated out were driver-green in >=2 rounds each and keep a
+# same-family anchor in the window (case_when_projection,
+# agg_filter_clause, bit_bool_aggs, grouping_rollup,
+# semi_join_in_subquery, exists_correlated, asof_join_latest_value,
+# q3_shipping_priority, sessionization_gaps, union_all_append,
+# dedup_exact_counts, language_id_heuristic, sequence_packing_bins,
+# text_unigram_logprob, embedding_cosine_near_dup_blocked,
+# tokens_ngram_topk); all stay oracle-green in the full-catalog run.
 # ---------------------------------------------------------------------
 _PRIORITY = [
     # scans / projections / predicates
-    "scan_project_filter", "case_when_projection",
+    "scan_project_filter", "struct_make_and_access",
+    "count_star_metadata",
     # aggregations
-    "agg_q1_pricing_summary",
-    "agg_filter_clause", "bit_bool_aggs", "count_distinct_exact",
-    "grouping_rollup",
+    "agg_q1_pricing_summary", "count_distinct_exact",
+    "grouping_cube",
     "bucketed_partitionwise_agg",
     "hypertable_rollup_day_from_hour", "sketch_heavy_hitters_exact",
     # joins (incl. the round-4 time-series joins)
     "broadcast_join_agg", "join_three_way_star",
-    "semi_join_in_subquery", "anti_join_not_exists",
-    "exists_correlated",
-    "asof_join_latest_value", "range_join_first_day_counts",
-    # windows / sorts / sessions
-    "window_topn_per_group", "topk_orders", "q3_shipping_priority",
-    "sessionization_gaps",
+    "anti_join_not_exists",
+    "range_join_first_day_counts",
+    # windows / sorts
+    "window_topn_per_group", "window_rolling_frames",
+    "window_over_aggregate", "topk_orders",
     # set ops / unnest / pivot
-    "union_all_append", "explode_words_topk",
+    "explode_words_topk", "unpivot_dynamic_json",
     # scalar builtin families (sql_veneer_*: the round-5 SQL-text
     # front end — registered SQL UDFs run as plain SQL, oracle-checked)
     "sql_veneer_bucket_subnet_agg",
@@ -76,17 +84,20 @@ _PRIORITY = [
     "elastic_terms_agg", "elastic_date_histogram_day",
     "elastic_top_hits", "elastic_multi_terms_agg",
     "elastic_bucket_script_sort", "elastic_geotile_grid",
+    "elastic_bool_query_hits", "elastic_filters_one_pass",
+    "elastic_filter_single_bucket",
     # flagship DAG + routed-row equality (the north-rule checks)
     "tokens_pipeline_flagship", "routed_rows_equality",
+    "docs_pipeline_route_agg",
     # dedup / similarity / text / curation (LLM-data-pipeline families)
-    "dedup_exact_counts", "ngram_jaccard_pairs",
-    "dedup_connected_components",
-    "ann_cosine_topk_brute", "embedding_cosine_near_dup_blocked",
-    "language_id_heuristic", "near_dedup_surviving_rows",
+    "ngram_jaccard_pairs",
+    "dedup_connected_components", "tokens_exact_dedup",
+    "ann_cosine_topk_brute", "embedding_cosine_near_dup_multiband",
+    "near_dedup_surviving_rows",
     "sql_veneer_split_label_counts", "curation_decontaminate",
-    "sequence_packing_bins", "text_unigram_logprob",
-    "curation_paragraph_dedup", "text_repetition_metrics",
-    "tokens_ngram_topk",
+    "curation_cap_per_group", "curation_paragraph_dedup",
+    "text_repetition_metrics", "lang_distribution",
+    "token_count_stats", "tokens_unnest_histogram",
 ]
 assert len(_PRIORITY) == 50
 
