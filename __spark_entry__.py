@@ -90,7 +90,11 @@ _PRIORITY = [
     "tokens_pipeline_flagship", "routed_rows_equality",
     "docs_pipeline_route_agg",
     # dedup / similarity / text / curation (LLM-data-pipeline families)
-    "ngram_jaccard_pairs",
+    # (runner_sketch_merged_hitters: round-6 runner-integration entry —
+    # per-unit CM sketches merged corpus-wide, value-checked; replaces
+    # ngram_jaccard_pairs, driver-green in rounds 3+5, still
+    # oracle-green in the full-catalog run)
+    "runner_sketch_merged_hitters",
     "dedup_connected_components", "tokens_exact_dedup",
     "ann_cosine_topk_brute", "embedding_cosine_near_dup_multiband",
     "near_dedup_surviving_rows",

@@ -113,6 +113,10 @@ def _fixture_version() -> str:
         with open(mod.__file__, "rb") as f:
             h.update(f.read())
     h.update(str(_FLAGSHIP_ROWS).encode())
+    # fixture-layout version: bump when the set of files written below
+    # changes, so cached /tmp fixtures regenerate (module-source hashes
+    # above don't see layout-only changes in THIS module)
+    h.update(b"layout-v2-runner-units")
     return h.hexdigest()[:16]
 
 
@@ -154,8 +158,21 @@ def _ensure_flagship_inputs() -> str:
         # same file; the content is deterministic so last-rename wins
         # with identical bytes
         pid = os.getpid()
+        # the same input split into unit files: run_pipeline's unit of
+        # work is one input parquet file, so the runner-integration
+        # entry (runner_sketch_merged_hitters) needs a multi-file input
+        # directory to exercise per-unit sketches + the n-way merge
+        runner_dir = os.path.join(_FLAGSHIP_DIR, "runner_units")
+        os.makedirs(runner_dir, exist_ok=True)
+        inp = frames["input.parquet"]
+        n_units = 4
+        step = (len(inp) + n_units - 1) // n_units
+        for k in range(n_units):
+            frames[os.path.join("runner_units", f"part-{k}.parquet")] = (
+                inp.iloc[k * step: (k + 1) * step]
+            )
         for fname, pdf in frames.items():
-            tmp = os.path.join(_FLAGSHIP_DIR, f".{fname}.{pid}.tmp")
+            tmp = os.path.join(_FLAGSHIP_DIR, f".{fname.replace(os.sep, '_')}.{pid}.tmp")
             pdf.to_parquet(tmp, index=False)
             os.replace(tmp, os.path.join(_FLAGSHIP_DIR, fname))
         # marker published atomically too: a reader that sees the
@@ -1718,3 +1735,44 @@ def sketch_heavy_hitters_exact(spark, sf_dir):
         F.explode(F.split(F.col("text"), r"\s+")).alias("word")
     )
     return heavy_hitters_exact(words, "word", threshold=500, width=2048)
+
+
+@register(
+    "runner_sketch_merged_hitters",
+    f"""SELECT source, COUNT(*) AS n_rows
+        FROM read_parquet('{_FLAGSHIP_DIR}/runner_units/*.parquet')
+        GROUP BY source HAVING COUNT(*) >= 1000""",
+)
+def runner_sketch_merged_hitters(spark, sf_dir):
+    """The runner's shipped-summary story, end-to-end and
+    value-checked: run_pipeline ingests the flagship input as FOUR
+    units (checkpoint/resume granularity), writing a fixed-size
+    count-min sketch of `source` per unit BEFORE each commit;
+    read_merged_sketch folds them cell-wise (the n-way cm_merge, with
+    the coverage gate refusing sketchless committed units); candidates
+    whose merged estimate >= 1000 are exactly recounted from the
+    routed table (CM never under-counts, so no true hitter is pruned)
+    and the exact filter drops false positives.  The oracle is a plain
+    GROUP BY ... HAVING over the same input files — routing preserves
+    rows 1:1, so merged-sketch pruning + recount must reproduce it
+    exactly.  Idempotent across invocations: committed units are
+    skipped on resume (input-identity checked), sketches overwrite."""
+    from .operators.sketch import cm_estimate
+    from .pipeline.runner import read_merged_sketch, read_routed, run_pipeline
+
+    d = _ensure_flagship_inputs()
+    out = os.path.join(d, "runner_out_sketch")
+    run_pipeline(
+        spark, os.path.join(d, "runner_units"), out, sketch_col="source"
+    )
+    sk = read_merged_sketch(spark, out)
+    routed = read_routed(spark, out)
+    cand = cm_estimate(sk, routed.select("source").distinct(), "source").filter(
+        F.col("est") >= 1000
+    )
+    return (
+        routed.join(cand.select("source"), "source", "left_semi")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .filter(F.col("n_rows") >= 1000)
+    )
