@@ -146,8 +146,13 @@ def l2_distance(a: Column, b: Column) -> Column:
 
 
 def cosine_distance(a: Column, b: Column) -> Column:
-    return 1.0 - inner_product(a, b) / (
-        F.sqrt(inner_product(a, a)) * F.sqrt(inner_product(b, b))
+    """1 - cos(a, b).  A zero-norm (or empty) vector has no defined
+    cosine: try_divide yields NULL instead of the ANSI DIVIDE_BY_ZERO
+    error — at 100 TB one all-zero embedding must not kill the job
+    (fuzz-found; same guard in the SQL veneer body)."""
+    return 1.0 - F.try_divide(
+        inner_product(a, b),
+        F.sqrt(inner_product(a, a)) * F.sqrt(inner_product(b, b)),
     )
 
 

@@ -100,10 +100,12 @@ _DEFINITIONS: list[str] = [
        RETURNS DOUBLE
        RETURN sqrt(aggregate(zip_with(a, b, (x, y) -> (x - y) * (x - y)),
                              cast(0 AS DOUBLE), (acc, v) -> acc + v))""",
+    # try_divide: a zero-norm vector has no defined cosine -> NULL,
+    # not an ANSI DIVIDE_BY_ZERO job abort (mirrors functions/scalar.py)
     """CREATE OR REPLACE TEMPORARY FUNCTION cosine_distance(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>)
        RETURNS DOUBLE
-       RETURN 1.0d - inner_product(a, b)
-                   / (sqrt(inner_product(a, a)) * sqrt(inner_product(b, b)))""",
+       RETURN 1.0d - try_divide(inner_product(a, b),
+                   sqrt(inner_product(a, a)) * sqrt(inner_product(b, b)))""",
     # -- time buckets (expr/builtin.go:1155-1170) ---------------------
     # full-microsecond precision via exact integer floor-mod over
     # unix_micros (same arithmetic as functions/scalar.py:time_bucket):
