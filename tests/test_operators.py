@@ -911,3 +911,55 @@ def test_range_join_replication_cap_and_name_guard(spark):
     with pytest.raises(ValueError, match="disjoint"):
         range_join_bucketed(points, clash, t_col="t", start_col="s",
                             end_col="e", by=["k"])
+
+
+def test_range_join_null_bounds_dropped(spark):
+    """Intervals with NULL start/end are DROPPED (standard NULL-bound
+    join semantics), not a job abort: the replication guard is
+    null-safe (ADVICE r5).  A real violation still renders its span."""
+    from sneller_spark.operators.timeseries import range_join_bucketed
+
+    points = spark.createDataFrame([(1, 5.0)], ["k", "t"])
+    ivals = spark.createDataFrame(
+        [(1, None, 10.0, "null-start"), (1, 0.0, None, "null-end"),
+         (1, 0.0, 10.0, "ok")],
+        "k int, s double, e double, tag string",
+    )
+    got = range_join_bucketed(
+        points, ivals, t_col="t", start_col="s", end_col="e", by=["k"],
+        bucket_width=4.0,
+    ).collect()
+    assert [r["tag"] for r in got] == ["ok"]
+    # a genuine violation still fails fast with a READABLE span count
+    huge = spark.createDataFrame([(1, 0.0, 1e6, "big")],
+                                 "k int, s double, e double, tag string")
+    with pytest.raises(Exception, match=r"spans 1000001 buckets"):
+        range_join_bucketed(points, huge, t_col="t", start_col="s",
+                            end_col="e", by=["k"], bucket_width=1.0,
+                            max_repl=100).count()
+
+
+def test_asof_join_global_bounds_explicit(spark):
+    """global_bounds=(lo, hi) skips the in-plan stats scan and must
+    produce the identical result; bounds wider than the data are safe
+    (clamping keeps every row in a valid chunk)."""
+    from sneller_spark.operators.timeseries import asof_join
+
+    rng = np.random.Generator(np.random.PCG64(33))
+    left = spark.createDataFrame(
+        [(i, float(t)) for i, t in enumerate(rng.uniform(0, 100, 200))],
+        ["id", "t"],
+    )
+    right = spark.createDataFrame(
+        [(float(t), float(v)) for t, v in
+         zip(rng.uniform(0, 100, 30), rng.uniform(0, 1, 30))],
+        ["t", "v"],
+    )
+    key = lambda df: sorted(map(tuple, df.toPandas().fillna(-1).values.tolist()))  # noqa: E731
+    serial = asof_join(left, right, t_col="t", value_cols=["v"])
+    exact = asof_join(left, right, t_col="t", value_cols=["v"],
+                      global_chunks=8, global_bounds=(0.0, 100.0))
+    wide = asof_join(left, right, t_col="t", value_cols=["v"],
+                     global_chunks=8, global_bounds=(-1e6, 1e6))
+    assert key(exact) == key(serial)
+    assert key(wide) == key(serial)

@@ -297,3 +297,41 @@ def test_unit_sketches_merge_to_whole_corpus(spark, input_dir, tmp_path):
     with pytest.raises(ValueError, match="sketch parameter mismatch"):
         run_pipeline(spark, input_dir, out, sketch_col="source",
                      sketch_params=(4, 2048, 7))
+
+
+def test_sketch_backfill_and_coverage_gate(spark, input_dir, tmp_path):
+    """Units committed by a run WITHOUT sketch_col get their sketches
+    BACKFILLED (from routed output, no reprocess) when a later run
+    passes sketch_col; and read_merged_sketch refuses a sketch set
+    that does not cover every committed unit (ADVICE r5: a silent
+    undercount would break CM's no-false-negatives pruning)."""
+    import shutil
+
+    from sneller_spark.operators.sketch import cm_sketch
+    from sneller_spark.pipeline.runner import (
+        SKETCH_SUBDIR, read_merged_sketch, read_routed,
+    )
+
+    out = str(tmp_path / "bf")
+    p1 = run_pipeline(spark, input_dir, out)            # no sketches at all
+    assert p1["units"] == FILES
+    p2 = run_pipeline(spark, input_dir, out, sketch_col="source")
+    assert p2["units_processed_this_run"] == 0          # nothing reprocessed
+
+    merged = read_merged_sketch(spark, out)             # backfill covered all
+    routed = read_routed(spark, out)
+    whole = cm_sketch(routed, "source",
+                      depth=merged.depth, width=merged.width, seed=merged.seed)
+    cell = lambda df: sorted(  # noqa: E731
+        map(tuple, df.select("d", "bucket", "cnt").toPandas().values.tolist())
+    )
+    assert cell(merged.df) == cell(whole.df)
+
+    # knock out one unit's sketch -> the merge must refuse, naming it
+    victim = sorted(
+        d for d in os.listdir(os.path.join(out, SKETCH_SUBDIR))
+        if d.startswith("unit=")
+    )[0]
+    shutil.rmtree(os.path.join(out, SKETCH_SUBDIR, victim))
+    with pytest.raises(ValueError, match="lack sketches"):
+        read_merged_sketch(spark, out)
