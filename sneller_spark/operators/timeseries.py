@@ -109,10 +109,14 @@ def asof_join(
             # chunk edges stay IN the plan: a 1-row min/max aggregate
             # broadcast-joined to every row — one action total, and the
             # bounds always describe the same data snapshot the main
-            # pass reads (no eager .first() frozen at construction)
+            # pass reads (no eager .first() frozen at construction).
+            # The 1-row result is persisted because the plan references
+            # it from two subtrees (chunk fill + per-chunk carry) and
+            # exchange reuse does not dedupe them — without the cache
+            # the bounds scan would run twice per action.
             stats = u.agg(
                 F.min(tnum).alias("_lo"), F.max(tnum).alias("_hi")
-            )
+            ).persist()
             u = u.crossJoin(F.broadcast(stats))
         width = (F.col("_hi") - F.col("_lo")) / F.lit(float(global_chunks))
         degenerate = (
