@@ -205,8 +205,10 @@ def bench_queries(spark, sf_dir: str, rounds: int = 3):
             t0 = time.monotonic()
             CATALOG[name].fn(spark, sf_dir).collect()
             samples[name].append(time.monotonic() - t0)
+    import statistics
+
     best = {n: round(min(s), 3) for n, s in samples.items()}
-    median = {n: round(sorted(s)[len(s) // 2], 3) for n, s in samples.items()}
+    median = {n: round(statistics.median(s), 3) for n, s in samples.items()}
     return best, median
 
 

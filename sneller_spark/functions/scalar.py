@@ -160,7 +160,18 @@ def cosine_distance(a: Column, b: Column) -> Column:
 # DATE_BIN / TIME_BUCKET (expr/builtin.go:1155-1170)
 # ---------------------------------------------------------------------
 
-def time_bucket(ts: Column, seconds: int) -> Column:
+def _interval_micros(seconds) -> int:
+    """Bucket width in whole micros; fractional seconds (the
+    reference's DATE_BIN supports e.g. 500 ms bins) are exact down to
+    1 us.  Zero/negative widths fail here, not as an opaque in-plan
+    pmod-by-zero."""
+    b = int(round(float(seconds) * 1_000_000))
+    if b <= 0:
+        raise ValueError(f"bucket width must be >= 1 microsecond, got {seconds!r}")
+    return b
+
+
+def time_bucket(ts: Column, seconds) -> Column:
     """TIME_BUCKET(interval, ts) -> epoch-aligned bucket start (ts).
 
     Full-microsecond precision, exact integer arithmetic: the bucket is
@@ -168,19 +179,20 @@ def time_bucket(ts: Column, seconds: int) -> Column:
     timestamps floor correctly too) — a fractional-second timestamp
     just below a boundary lands in the earlier bucket, matching the
     reference's DATE_BIN at full timestamp precision
-    (expr/builtin.go:1155-1170)."""
-    b = F.lit(int(seconds) * 1_000_000)
-    m = F.unix_micros(ts)
+    (expr/builtin.go:1155-1170).  `seconds` may be fractional (500 ms
+    bins); string/date ts columns are cast to timestamp first."""
+    b = F.lit(_interval_micros(seconds))
+    m = F.unix_micros(ts.cast("timestamp"))
     return F.timestamp_micros(m - F.pmod(m, b))
 
 
-def date_bin(ts: Column, seconds: int, origin: str = "1970-01-01 00:00:00") -> Column:
+def date_bin(ts: Column, seconds, origin: str = "1970-01-01 00:00:00") -> Column:
     """DATE_BIN(interval, ts, origin): floor ts into interval-sized
     bins anchored at origin.  Exact micros arithmetic (see
     time_bucket)."""
     og = F.unix_micros(F.lit(origin).cast("timestamp"))
-    m = F.unix_micros(ts)
-    b = F.lit(int(seconds) * 1_000_000)
+    m = F.unix_micros(ts.cast("timestamp"))
+    b = F.lit(_interval_micros(seconds))
     return F.timestamp_micros(m - F.pmod(m - og, b))
 
 

@@ -61,10 +61,14 @@ def asof_join(
     chunk) is broadcast back — two scans + one n_chunks-row window
     instead of a single-partition sort.  Chunk edges come from a
     1-row min/max aggregate broadcast-joined IN-PLAN (a pure lazy
-    transformation — no Spark job runs at call time, and a refreshed
-    non-deterministic source cannot be mis-chunked against stale
-    bounds); pass `global_bounds=(lo, hi)` (t cast to double) to skip
-    even that in-plan stats scan, e.g. from parquet footer min/max."""
+    transformation — no Spark job runs at call time); the 1-row
+    result is persist()ed so the stats scan runs once per action, at
+    the cost of one session-lifetime cache entry per call and bounds
+    frozen at the FIRST action.  Imperfect or stale bounds can never
+    produce wrong results — chunk ids clamp into [0, chunks) and the
+    carry covers every chunk — they only degrade chunk balance.  Pass
+    `global_bounds=(lo, hi)` (t cast to double) to skip the stats
+    scan and the cache entirely, e.g. from parquet footer min/max."""
     by = by or []
     _reserved = {"_side", "_rrow", "_m", "_chunk", "_carry", "_lo", "_hi"}
     bad = _reserved & (set(left.columns) | set(right.columns))

@@ -220,10 +220,14 @@ def read_merged_sketch(spark: SparkSession, out_dir: str):
     with open(os.path.join(sketch_dir, "_params.json")) as f:
         p = json.load(f)
     committed = LineageLog(out_dir).committed_units()
+    # a sketch only counts with its _SUCCESS marker: a crash mid-write
+    # leaves part files that would merge as a partial (undercounting)
+    # summary — exactly what this gate exists to refuse
     have = {
         d[len("unit="):]
         for d in os.listdir(sketch_dir)
         if d.startswith("unit=")
+        and os.path.exists(os.path.join(sketch_dir, d, "_SUCCESS"))
     }
     missing = sorted(committed - have)
     if missing:
@@ -288,7 +292,13 @@ def run_pipeline(
         # a sketch, leaving the merged summary a silent undercount
         # (read_merged_sketch refuses such gaps).  Building from the
         # unit's routed output is a column-pruned read — no reprocess.
-        for uid in sorted(done_ids):
+        # Iterate the COMMIT LOG, not the current input listing: a
+        # committed unit whose input file has since been deleted still
+        # contributes routed rows and still needs its sketch.  Units
+        # about to be reprocessed (identity changed -> in todo) are
+        # excluded; they write a fresh sketch in the loop below.
+        todo_ids = {uid for uid, _ in todo}
+        for uid in sorted(log.committed_units() - todo_ids):
             sdir = os.path.join(sketch_dir, f"unit={uid}")
             if os.path.exists(os.path.join(sdir, "_SUCCESS")):
                 continue
@@ -318,18 +328,23 @@ def run_pipeline(
             routed = routed.persist(StorageLevel.MEMORY_AND_DISK)
 
         unit_dir = os.path.join(routed_dir, f"unit={unit_id}")
-        # idempotent overwrite of THIS unit's directory only
-        routed.write.mode("overwrite").partitionBy("sink_id").parquet(unit_dir)
+        try:
+            # idempotent overwrite of THIS unit's directory only
+            routed.write.mode("overwrite").partitionBy("sink_id").parquet(unit_dir)
 
-        if sketch_col is not None:
-            # sketch BEFORE the commit below: a committed unit therefore
-            # always has a durable sketch, and the overwrite keeps a
-            # re-processed unit idempotent
-            _write_unit_sketch(
-                routed.select(sketch_col), sketch_col,
-                os.path.join(sketch_dir, f"unit={unit_id}"), sketch_params,
-            )
-            routed.unpersist()
+            if sketch_col is not None:
+                # sketch BEFORE the commit below: a committed unit
+                # therefore always has a durable sketch, and the
+                # overwrite keeps a re-processed unit idempotent
+                _write_unit_sketch(
+                    routed.select(sketch_col), sketch_col,
+                    os.path.join(sketch_dir, f"unit={unit_id}"), sketch_params,
+                )
+        finally:
+            if sketch_col is not None:
+                # release even on a failed write: a caller that catches
+                # and keeps the session must not pin a unit's rows
+                routed.unpersist()
 
         # lineage + metrics from parquet footers of the files just
         # written (counts exactly what was committed, zero extra scans)
@@ -350,9 +365,13 @@ def run_pipeline(
         )
 
     # final aggregates from all committed units (derived state — always
-    # consistent with the routed table, regardless of kill/resume)
+    # consistent with the routed table, regardless of kill/resume).
+    # A no-op resume (nothing processed, aggregate already written)
+    # skips the rewrite: salted and unsalted paths produce identical
+    # results, so the existing aggregate is still the derived state.
     stats = log.total_stats()
-    if log.committed_units():
+    agg_done = os.path.exists(os.path.join(out_dir, AGG_SUBDIR, "_SUCCESS"))
+    if log.committed_units() and (todo or not agg_done):
         routed_all = spark.read.parquet(routed_dir)
         agg = (
             aggregate_per_sink_salted(routed_all, salt_buckets=salt_buckets)

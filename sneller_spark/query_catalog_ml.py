@@ -1762,9 +1762,18 @@ def runner_sketch_merged_hitters(spark, sf_dir):
 
     d = _ensure_flagship_inputs()
     out = os.path.join(d, "runner_out_sketch")
-    run_pipeline(
-        spark, os.path.join(d, "runner_units"), out, sketch_col="source"
-    )
+    # the out_dir is shared fixture state: two concurrent invocations
+    # (pytest + a driver/bench subprocess) would race the same unit
+    # dirs and commit log — serialize the build with an exclusive
+    # advisory lock (released on close; readers below run unlocked,
+    # by then the state is committed and idempotent)
+    import fcntl
+
+    with open(os.path.join(d, ".runner_out_sketch.lock"), "w") as lk:
+        fcntl.flock(lk, fcntl.LOCK_EX)
+        run_pipeline(
+            spark, os.path.join(d, "runner_units"), out, sketch_col="source"
+        )
     sk = read_merged_sketch(spark, out)
     routed = read_routed(spark, out)
     cand = cm_estimate(sk, routed.select("source").distinct(), "source").filter(

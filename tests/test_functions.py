@@ -207,3 +207,34 @@ def test_contains_fuzzy_random_corpus_vs_dp(spark):
         for i, s in enumerate(corpus):
             exp = substr_edit_distance(s, needle) <= t
             assert got[i] == exp, f"t={t} s={s!r}: got {got[i]}, want {exp}"
+
+
+def test_time_bucket_fractional_and_string_ts(spark):
+    """Round-6 contract: fractional bucket widths (the reference's
+    DATE_BIN supports 500 ms bins) are exact to 1 us; string ts
+    columns are cast; zero/negative widths raise eagerly instead of
+    an in-plan pmod-by-zero."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from sneller_spark.functions.scalar import date_bin, time_bucket
+
+    df = spark.createDataFrame(
+        [("2024-03-01 12:00:01.730",), ("2024-03-01 12:00:01.499999",)],
+        "ts string",
+    )
+    got = [
+        r["b"]
+        for r in df.select(
+            F.unix_micros(time_bucket(F.col("ts"), 0.5)).alias("b")
+        ).collect()
+    ]
+    assert got == [1709294401500000, 1709294401000000]
+    got2 = df.select(
+        F.unix_micros(date_bin(F.col("ts"), 0.5)).alias("b")
+    ).collect()
+    assert [r["b"] for r in got2] == got
+    with _pytest.raises(ValueError, match="microsecond"):
+        time_bucket(F.col("ts"), 0)
+    with _pytest.raises(ValueError, match="microsecond"):
+        date_bin(F.col("ts"), -3)
