@@ -115,6 +115,16 @@ def is_subnet_of(cidr: str, ip: Column) -> Column:
     return ip_to_long(ip).bitwiseAND(F.lit(mask)) == F.lit(net)
 
 
+def ip_in_range(start: Column, end: Column, ip: Column) -> Column:
+    """The reference's 3-argument IS_SUBNET_OF(start, end, ip)
+    (vm/testdata/queries/0059-string-subnet-of): inclusive dotted-quad
+    range membership, leading-zero octets accepted, null on any
+    malformed address.  Registered in the SQL veneer as IP_IN_RANGE —
+    Spark SQL UDF names cannot overload the 2-arg CIDR form by
+    arity."""
+    return ip_to_long(ip).between(ip_to_long(start), ip_to_long(end))
+
+
 # ---------------------------------------------------------------------
 # vector distances (expr/builtin.go:227-230) — higher-order array exprs
 # ---------------------------------------------------------------------

@@ -87,6 +87,11 @@ _DEFINITIONS: list[str] = [
               THEN (ip_to_long(ip) & {_MASK})
                  = (ip_to_long(try_element_at(split(cidr, '/'), 1)) & {_MASK})
               END""",
+    # the reference's 3-arg IS_SUBNET_OF(start, end, ip) — inclusive
+    # dotted-quad range; distinct name because SQL UDFs can't overload
+    """CREATE OR REPLACE TEMPORARY FUNCTION ip_in_range(start STRING, end STRING, ip STRING)
+       RETURNS BOOLEAN
+       RETURN ip_to_long(ip) BETWEEN ip_to_long(start) AND ip_to_long(end)""",
     # -- vector distances (expr/builtin.go:227-230) -------------------
     """CREATE OR REPLACE TEMPORARY FUNCTION inner_product(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>)
        RETURNS DOUBLE
@@ -171,7 +176,7 @@ _DEFINITIONS: list[str] = [
 #: first — is_subnet_of/cosine_distance/split_label call earlier ones)
 SQL_FUNCTION_NAMES = [
     "contains_ci", "equals_ci", "equals_fuzzy",
-    "ip_to_long", "is_subnet_of",
+    "ip_to_long", "is_subnet_of", "ip_in_range",
     "inner_product", "l1_distance", "l2_distance", "cosine_distance",
     "time_bucket", "date_bin",
     "geo_distance", "geo_tile_x", "geo_tile_y", "geo_tile_es",

@@ -277,6 +277,8 @@ def test_veneer_fuzz_ipv4(spark, _veneer_registered, seed):
         ("is_subnet_of('0.0.0.0/0', ip)", sc.is_subnet_of("0.0.0.0/0", F.col("ip"))),
         ("is_subnet_of('255.255.255.255/32', ip)",
          sc.is_subnet_of("255.255.255.255/32", F.col("ip"))),
+        ("ip_in_range('10.0.0.0', '172.16.255.255', ip)",
+         sc.ip_in_range(F.lit("10.0.0.0"), F.lit("172.16.255.255"), F.col("ip"))),
     ])
     # malformed CIDR text in a COLUMN must degrade to NULL, never throw
     got = spark.sql(

@@ -110,6 +110,22 @@ def test_is_subnet_of_matches(spark, rows, cidr):
     _pairs(spark, rows, f"is_subnet_of('{cidr}', ip)", sc.is_subnet_of(cidr, F.col("ip")))
 
 
+def test_ip_in_range_matches(spark, rows):
+    # the reference's 3-arg IS_SUBNET_OF(start, end, ip): inclusive
+    # range, leading zeros fine, malformed -> null (golden 0418)
+    _pairs(
+        spark, rows,
+        "ip_in_range('10.0.0.0', '192.168.0.255', ip)",
+        sc.ip_in_range(F.lit("10.0.0.0"), F.lit("192.168.0.255"), F.col("ip")),
+    )
+    got = spark.sql(
+        "SELECT ip_in_range('128.1.2.3', '128.1.2.5', '128.001.002.005') AS a, "
+        "       ip_in_range('128.1.2.3', '128.1.2.5', '128.1.2.6') AS b, "
+        "       ip_in_range('128.1.2.3', '128.1.2.5', 'junk') AS c"
+    ).collect()[0]
+    assert got["a"] is True and got["b"] is False and got["c"] is None
+
+
 def test_vector_distances_match(spark, rows):
     _pairs(spark, rows, "inner_product(vec_a, vec_b)", sc.inner_product(F.col("vec_a"), F.col("vec_b")))
     _pairs(spark, rows, "l1_distance(vec_a, vec_b)", sc.l1_distance(F.col("vec_a"), F.col("vec_b")))
