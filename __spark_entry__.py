@@ -37,71 +37,55 @@ from sneller_spark.session import ship_package  # noqa: E402
 # entry semantics and registration are untouched.  Every name here is
 # oracle-backed (value-checked, not rows-only).
 #
-# Round 6 rotation (VERDICT r5 item 2): 16 FIRST-TIME names — entries
-# oracle-green in every full tools/check_correctness.py run but never
-# covered by a driver CORRECTNESS row in rounds 1-5 — rotate in:
-#   struct_make_and_access, count_star_metadata, grouping_cube,
-#   window_rolling_frames, window_over_aggregate, unpivot_dynamic_json,
-#   elastic_bool_query_hits, elastic_filters_one_pass,
-#   elastic_filter_single_bucket, docs_pipeline_route_agg (the entry()
-#   flagship itself), tokens_exact_dedup, tokens_unnest_histogram,
-#   embedding_cosine_near_dup_multiband, curation_cap_per_group,
-#   lang_distribution, token_count_stats.
-# The 16 rotated out were driver-green in >=2 rounds each and keep a
-# same-family anchor in the window (case_when_projection,
-# agg_filter_clause, bit_bool_aggs, grouping_rollup,
-# semi_join_in_subquery, exists_correlated, asof_join_latest_value,
-# q3_shipping_priority, sessionization_gaps, union_all_append,
-# dedup_exact_counts, language_id_heuristic, sequence_packing_bins,
-# text_unigram_logprob, embedding_cosine_near_dup_blocked,
-# tokens_ngram_topk); all stay oracle-green in the full-catalog run.
+# Round 6 rotation (VERDICT r5 item 2, completed): the window now holds
+# ALL 43 catalog entries that had no driver CORRECTNESS row in rounds
+# 1-5 — 31 oracle-backed (value-checked) + 12 deliberately rows-only
+# (sketch/ANN/multimodal internals no ANSI engine reproduces; each has
+# quantitative pytest coverage, see COVERAGE.md) — plus 7 flagship
+# anchors that stay in every round (north-rule DAG, routed equality,
+# headline scan/agg/join/window/distinct).  After this round every one
+# of the 130 catalog entries has appeared in a driver CORRECTNESS
+# artifact at least once (union 130/130).  Rotated-out names were all
+# driver-green in >=1 earlier round and stay oracle-green in the full
+# tools/check_correctness.py run.
 # ---------------------------------------------------------------------
 _PRIORITY = [
-    # scans / projections / predicates
-    "scan_project_filter", "struct_make_and_access",
-    "count_star_metadata",
-    # aggregations
-    "agg_q1_pricing_summary", "count_distinct_exact",
-    "grouping_cube",
-    "bucketed_partitionwise_agg",
-    "hypertable_rollup_day_from_hour", "sketch_heavy_hitters_exact",
-    # joins (incl. the round-4 time-series joins)
-    "broadcast_join_agg", "join_three_way_star",
-    "anti_join_not_exists",
-    "range_join_first_day_counts",
-    # windows / sorts
-    "window_topn_per_group", "window_rolling_frames",
-    "window_over_aggregate", "topk_orders",
-    # set ops / unnest / pivot
-    "explode_words_topk", "unpivot_dynamic_json",
-    # scalar builtin families (sql_veneer_*: the round-5 SQL-text
-    # front end — registered SQL UDFs run as plain SQL, oracle-checked)
-    "sql_veneer_bucket_subnet_agg",
-    "contains_fuzzy_parts",
-    "hash_lookup_inline",
-    "ip_subnet_filter", "datashape_profile",
-    # Elastic DSL adapter (elasticproxy analog)
-    "elastic_terms_agg", "elastic_date_histogram_day",
-    "elastic_top_hits", "elastic_multi_terms_agg",
-    "elastic_bucket_script_sort", "elastic_geotile_grid",
+    # --- anchors (driver-green in >=2 earlier rounds; kept so every
+    # round's artifact still value-checks the flagship surface) -------
+    "scan_project_filter", "agg_q1_pricing_summary",
+    "count_distinct_exact", "broadcast_join_agg",
+    "window_topn_per_group",
+    "tokens_pipeline_flagship", "routed_rows_equality",
+    # --- first-time, oracle-backed (rounds-1-5 never-gated) ----------
+    "struct_make_and_access", "count_star_metadata", "grouping_cube",
+    "window_rolling_frames", "window_over_aggregate",
+    "unpivot_dynamic_json",
     "elastic_bool_query_hits", "elastic_filters_one_pass",
     "elastic_filter_single_bucket",
-    # flagship DAG + routed-row equality (the north-rule checks)
-    "tokens_pipeline_flagship", "routed_rows_equality",
     "docs_pipeline_route_agg",
-    # dedup / similarity / text / curation (LLM-data-pipeline families)
-    # (runner_sketch_merged_hitters: round-6 runner-integration entry —
-    # per-unit CM sketches merged corpus-wide, value-checked; replaces
-    # ngram_jaccard_pairs, driver-green in rounds 3+5, still
-    # oracle-green in the full-catalog run)
+    "tokens_exact_dedup", "tokens_unnest_histogram",
+    "embedding_cosine_near_dup_multiband", "curation_cap_per_group",
+    "lang_distribution", "token_count_stats",
     "runner_sketch_merged_hitters",
-    "dedup_connected_components", "tokens_exact_dedup",
-    "ann_cosine_topk_brute", "embedding_cosine_near_dup_multiband",
-    "near_dedup_surviving_rows",
-    "sql_veneer_split_label_counts", "curation_decontaminate",
-    "curation_cap_per_group", "curation_paragraph_dedup",
-    "text_repetition_metrics", "lang_distribution",
-    "token_count_stats", "tokens_unnest_histogram",
+    "array_sum_fold", "octet_char_length", "select_star_passthrough",
+    "is_null_true_false", "ilike_case_insensitive",
+    "string_functions_2", "greatest_least_dates",
+    "width_bucket_histogram",
+    "tokens_pipeline_jvm_kernel",
+    "embedding_cosine_near_dup", "embedding_norm_by_label",
+    "text_quality_by_lang", "quality_features_sample",
+    "doc_fingerprint_shards",
+    # --- first-time, rows-only by design (no ANSI oracle exists:
+    # xxhash64-keyed dedup groups, minhash/simhash signatures, ANN
+    # candidate sets, PPM decode features; exactness is pytest-proven
+    # against pure-pandas oracles — the driver records the weaker
+    # run+rows+schema check, COVERAGE.md explains each) ---------------
+    "geo_hash_buckets", "dedup_exact_groups",
+    "minhash_signatures_sample", "minhash_lsh_candidates",
+    "simhash_near_dups", "simhash_fingerprints",
+    "ann_cosine_topk_lsh", "ann_cosine_topk_ivf",
+    "ann_cosine_topk_ivf_pruned", "ann_cosine_topk_srp_pruned",
+    "multimodal_asset_features", "multimodal_ppm_features_real",
 ]
 assert len(_PRIORITY) == 50
 
