@@ -1,0 +1,1243 @@
+"""Verbatim replay of the reference's own query-test corpus on Spark.
+
+The reference ships 408 end-to-end query tests
+(/root/reference/vm/testdata/queries/**/*.test, format defined at
+/root/reference/tests/testcase.go:26-84 and
+/root/reference/testquery/testquery.go:889-910: SQL, ``---``-separated
+input NDJSON sections, final section expected NDJSON; with more than 3
+sections the middle sections are tables ``input0``, ``input1``, ...).
+The golden corpus under ``tests/golden`` re-spells those semantics in
+Spark SQL with original data; this module goes further and replays the
+reference's *own* files, read from the read-only reference checkout at
+test time (nothing is copied into this repo).
+
+Pipeline per case:
+
+1. ``parse_case``   — split sections, strip full-line and trailing
+   ``#`` comments (outside string literals).
+2. ``translate``    — rewrite the Sneller/PartiQL dialect deltas to
+   Spark SQL *text* (Spark's parser does all real parsing; this is a
+   token-level rewriter over the public PartiQL surface, not a grammar
+   port).  Deltas handled:
+   - ion timestamp literals ```2022-...Z``` → ``TIMESTAMP '...'``
+   - ``MISSING`` / ``IS [NOT] MISSING`` → NULL discipline
+   - ``"ident"`` double-quoted identifiers → backticks
+   - ``[...]`` array / ``{'k': v}`` struct constructors →
+     ``array(...)`` / ``named_struct(...)``
+   - lateral unnest ``FROM t AS a, a.path AS x`` → ``LATERAL VIEW
+     explode``
+   - ``UNPIVOT rel AS v AT k`` → ``LATERAL variant_explode`` over
+     ``parse_json(to_json(struct(rel.*)))`` (Spark 4 VARIANT is the
+     idiomatic analog of ion's dynamic typing)
+   - ``DISTINCT ON (keys)`` → ``ROW_NUMBER`` window + filter
+   - ``SELECT DISTINCT ON`` / multi-column scalar subqueries →
+     ``named_struct``
+   - Sneller 64-bit ``INTEGER``/``FLOAT`` casts → BIGINT/DOUBLE
+   - function-surface deltas (``DATE_TRUNC(UNIT, t)`` argument order,
+     Go-style month-add normalisation, ``EXTRACT`` DOW/MICROSECOND
+     conventions, ``TIME_BUCKET`` epoch seconds, ``TO_UNIX_*``,
+     ``SIMILAR TO``/``~`` regex forms, 3-arg ``IS_SUBNET_OF`` range
+     form → ``ip_in_range``, ...)
+   - Sneller's implicit aliases for unaliased aggregates
+     (``SELECT COUNT(*)`` yields column ``count``)
+3. ``load_input``   — NDJSON → DataFrame with Sneller-style ingestion
+   typing (RFC3339-looking strings become timestamps, as the
+   reference's JSON→ion converter does at ingest).
+4. execution runs with ``spark.sql.ansi.enabled=false``: Sneller never
+   aborts a query — failed casts / division by zero produce MISSING —
+   and Spark's non-ANSI NULL-on-error semantics are the exact analog
+   (the conf is restored after each case).
+5. ``compare``      — order-insensitive multiset (ordered when the top
+   level has ORDER BY) under the MISSING-vs-NULL output discipline:
+   Sneller omits MISSING fields from output rows, Spark emits NULL
+   columns, so null-valued keys drop from both sides; timestamps
+   normalise to RFC3339; VARIANT values unbox via ``toPython``.
+
+Cases whose *input* is dynamically typed (one column holding both
+numbers and strings) exercise per-value typing that a typed columnar
+engine deliberately does not reproduce; they are classified
+``mixed-type`` and reported, not silently skipped.
+"""
+
+from __future__ import annotations
+
+import datetime
+import decimal
+import fnmatch
+import glob
+import json
+import math
+import os
+import re
+
+REFERENCE_QUERIES = "/root/reference/vm/testdata/queries"
+
+_TS_RE = re.compile(
+    r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(\.\d+)?(Z|[+-]\d{2}:?\d{2})?$"
+)
+
+_CLAUSE_KW = (
+    "WHERE", "GROUP", "HAVING", "ORDER", "LIMIT", "UNION", "INTERSECT",
+    "EXCEPT", "WINDOW", "JOIN", "LEFT", "RIGHT", "FULL", "INNER", "CROSS",
+    "ON",
+)
+
+
+# ---------------------------------------------------------------------------
+# case file parsing
+
+
+def list_cases(root: str = REFERENCE_QUERIES) -> list[str]:
+    return sorted(glob.glob(os.path.join(root, "**", "*.test"), recursive=True))
+
+
+def _strip_line_comment(line: str) -> str:
+    in_str = False
+    for i, c in enumerate(line):
+        if c == "'":
+            in_str = not in_str
+        elif c == "#" and not in_str:
+            return line[:i].rstrip()
+    return line
+
+
+def _section_lines(block: str, strip_trailing: bool) -> list[str]:
+    out = []
+    for line in block.strip().splitlines():
+        if not line.strip() or line.lstrip().startswith("#"):
+            continue
+        if strip_trailing:
+            line = _strip_line_comment(line)
+        else:
+            # NDJSON: comment starts after the closing brace
+            # (testquery.go stripInlineComment)
+            pos = line.rfind("}")
+            if pos != -1 and (not line[pos + 1 :].strip() or
+                              line[pos + 1 :].strip().startswith("#")):
+                line = line[: pos + 1]
+        if line.strip():
+            out.append(line)
+    return out
+
+
+def parse_case(path: str) -> tuple[str, list[list[str]], list[dict]]:
+    """Return (query, input sections, expected rows)."""
+    text = open(path, errors="replace").read()
+    parts = re.split(r"^---\s*$", text, flags=re.MULTILINE)
+    if len(parts) < 3:
+        raise ValueError(f"{path}: expected >=3 sections, got {len(parts)}")
+    query = "\n".join(_section_lines(parts[0], strip_trailing=True))
+    inputs = [_section_lines(p, strip_trailing=False) for p in parts[1:-1]]
+    expected = [
+        json.loads(l) for l in _section_lines(parts[-1], strip_trailing=False)
+    ]
+    return query, inputs, expected
+
+
+# ---------------------------------------------------------------------------
+# string-aware scanning helpers
+
+
+def _split_strings(sql: str) -> list[tuple[bool, str]]:
+    """(is_string_literal, text) segments; '' escapes respected."""
+    segs: list[tuple[bool, str]] = []
+    i, start = 0, 0
+    while i < len(sql):
+        if sql[i] == "'":
+            j = i + 1
+            while j < len(sql):
+                if sql[j] == "'":
+                    if j + 1 < len(sql) and sql[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            if i > start:
+                segs.append((False, sql[start:i]))
+            segs.append((True, sql[i : j + 1]))
+            i = j + 1
+            start = i
+        else:
+            i += 1
+    if start < len(sql):
+        segs.append((False, sql[start:]))
+    return segs
+
+
+def _rewrite_outside_strings(sql: str, fn) -> str:
+    return "".join(t if s else fn(t) for s, t in _split_strings(sql))
+
+
+def _skip_string(sql: str, i: int) -> int:
+    """i points at an opening quote; return index after the literal."""
+    j = i + 1
+    while j < len(sql):
+        if sql[j] == "'":
+            if j + 1 < len(sql) and sql[j + 1] == "'":
+                j += 2
+                continue
+            return j + 1
+        j += 1
+    return j
+
+
+def _matching(sql: str, i: int, open_c: str, close_c: str) -> int:
+    """i points at open_c; return index of its matching close_c."""
+    depth = 0
+    while i < len(sql):
+        c = sql[i]
+        if c == "'":
+            i = _skip_string(sql, i)
+            continue
+        if c == open_c:
+            depth += 1
+        elif c == close_c:
+            depth -= 1
+            if depth == 0:
+                return i
+        i += 1
+    return -1
+
+
+def _top_level_split(text: str, sep: str = ",") -> list[str]:
+    """Split on top-level sep (outside parens/brackets/strings)."""
+    parts, depth, start, i = [], 0, 0, 0
+    while i < len(text):
+        c = text[i]
+        if c == "'":
+            i = _skip_string(text, i)
+            continue
+        if c in "([{":
+            depth += 1
+        elif c in ")]}":
+            depth -= 1
+        elif c == sep and depth == 0:
+            parts.append(text[start:i])
+            start = i + 1
+        i += 1
+    parts.append(text[start:])
+    return parts
+
+
+# ---------------------------------------------------------------------------
+# dialect translation
+
+
+def _fold_int_products(seg: str) -> str:
+    # Sneller const-folds before GROUP BY matching (TIME_BUCKET(t,60*60)
+    # grouped by TIME_BUCKET(t,3600)); fold integer products textually
+    def fold(m):
+        return str(int(m.group(1)) * int(m.group(2)))
+
+    prev = None
+    while prev != seg:
+        prev = seg
+        seg = re.sub(r"(?<![\w.])(\d+)\s*\*\s*(\d+)(?![\w.*])", fold, seg)
+    return seg
+
+
+def _constructors(sql: str) -> str:
+    """PartiQL ``[...]`` / ``{'k': v}`` constructors → array()/named_struct().
+
+    A ``[`` is a subscript iff the previous non-space char ends an
+    expression (identifier, ``)``, ``]`` or backtick); otherwise it
+    opens an array literal.
+    """
+    out: list[str] = []
+    stack: list[str] = []  # 'struct' | 'array' | 'paren' | 'sub'
+    i = 0
+    while i < len(sql):
+        c = sql[i]
+        if c == "'":
+            j = _skip_string(sql, i)
+            out.append(sql[i:j])
+            i = j
+            continue
+        if c == "[":
+            done = "".join(out).rstrip()
+            prev = done[-1:]
+            wm = re.search(r"(\w+)$", done)
+            prev_kw = bool(wm) and wm.group(1).upper() in (
+                "SELECT", "DISTINCT", "WHERE", "AND", "OR", "NOT", "THEN",
+                "ELSE", "WHEN", "IN", "ON", "BY", "AS", "RETURN", "CASE",
+                "END", "FROM", "HAVING", "ALL", "UNION", "EXCEPT",
+                "INTERSECT", "VALUES", "LIMIT", "OFFSET",
+            )
+            if prev and not prev_kw and (prev.isalnum() or prev in ")]`_"):
+                stack.append("sub")
+                out.append("[")
+            else:
+                stack.append("array")
+                out.append("array(")
+        elif c == "]":
+            kind = stack.pop() if stack else "sub"
+            out.append("]" if kind == "sub" else ")")
+        elif c == "{":
+            stack.append("struct")
+            out.append("named_struct(")
+        elif c == "}":
+            if stack:
+                stack.pop()
+            out.append(")")
+        elif c == ":" and stack and stack[-1] == "struct":
+            out.append(",")
+        elif c == "(":
+            stack.append("paren")
+            out.append("(")
+        elif c == ")":
+            if stack:
+                stack.pop()
+            out.append(")")
+        else:
+            out.append(c)
+        i += 1
+    return "".join(out)
+
+
+def _find_kw(sql: str, kw: str, start: int = 0) -> int:
+    pat = re.compile(r"\b" + kw + r"\b", re.IGNORECASE)
+    i = start
+    depth = 0
+    while i < len(sql):
+        c = sql[i]
+        if c == "'":
+            i = _skip_string(sql, i)
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        else:
+            m = pat.match(sql, i)
+            if m and depth == 0:
+                return i
+        i += 1
+    return -1
+
+
+def _rewrite_unpivot(sql: str) -> str:
+    """``UNPIVOT rel [AS v] [AT k]`` → variant_explode subquery.
+
+    Applied innermost-first so nested UNPIVOTs resolve.
+    """
+    for _ in range(8):
+        m = None
+        for cand in re.finditer(r"\bUNPIVOT\b", sql, flags=re.IGNORECASE):
+            rest = sql[cand.end() :].lstrip()
+            if rest.startswith("("):
+                # only rewrite once the subquery has no inner UNPIVOT
+                close = _matching(sql, sql.index("(", cand.end()), "(", ")")
+                inner = sql[cand.end() : close]
+                if re.search(r"\bUNPIVOT\b", inner, flags=re.IGNORECASE):
+                    continue
+            m = cand
+            break
+        if m is None:
+            return sql
+        i = m.end()
+        while i < len(sql) and sql[i].isspace():
+            i += 1
+        if i < len(sql) and sql[i] == "(":
+            close = _matching(sql, i, "(", ")")
+            rel = sql[i : close + 1]
+            i = close + 1
+        else:
+            m2 = re.match(r"[A-Za-z_][\w.]*", sql[i:])
+            rel = m2.group(0)
+            i += m2.end()
+        as_m = re.match(r"\s+AS\s+(\w+)", sql[i:], flags=re.IGNORECASE)
+        val = None
+        if as_m:
+            val = as_m.group(1)
+            i += as_m.end()
+        at_m = re.match(r"\s+AT\s+(\w+)", sql[i:], flags=re.IGNORECASE)
+        key = None
+        if at_m:
+            key = at_m.group(1)
+            i += at_m.end()
+        proj = []
+        if key:
+            proj.append(f"__ve.key AS {key}")
+        if val:
+            proj.append(f"__ve.value AS {val}")
+        if not proj:
+            proj = ["__ve.key AS key", "__ve.value AS value"]
+        repl = (
+            f"(SELECT {', '.join(proj)} FROM {rel} AS __upv, "
+            f"LATERAL variant_explode(parse_json(to_json(struct(__upv.*)))) AS __ve)"
+        )
+        sql = sql[: m.start()] + repl + sql[i:]
+    return sql
+
+
+def _rewrite_lateral_unnest(sql: str) -> str:
+    """``FROM t [AS] a, a.path [AS] x, x [AS] y`` → LATERAL VIEW explode.
+
+    Recurses into parenthesised subqueries first.
+    """
+
+    def recurse(s: str) -> str:
+        out, i = [], 0
+        while i < len(s):
+            c = s[i]
+            if c == "'":
+                j = _skip_string(s, i)
+                out.append(s[i:j])
+                i = j
+            elif c == "(":
+                j = _matching(s, i, "(", ")")
+                if j == -1:
+                    out.append(s[i:])
+                    break
+                out.append("(" + recurse(s[i + 1 : j]) + ")")
+                i = j + 1
+            else:
+                out.append(c)
+                i += 1
+        return one_level("".join(out))
+
+    def one_level(s: str) -> str:
+        m = _find_from(s)
+        if m is None:
+            return s
+        start, end = m
+        clause = s[start:end]
+        items = _top_level_split(clause)
+        if len(items) < 2:
+            return s
+        first = items[0].strip()
+        fm = re.match(r"^([A-Za-z_][\w.]*|\((?s:.*)\))\s*(?:AS\s+)?(\w+)?\s*$",
+                      first, flags=re.IGNORECASE)
+        if not fm:
+            return s
+        base, alias = fm.group(1), fm.group(2)
+        aliases = {alias or base}
+        parts = [f"{base} AS `{alias}`" if alias else base]
+        ok = True
+        for it in items[1:]:
+            im = re.match(r"^([A-Za-z_]\w*)((?:\.\w+)*)\s*(?:AS\s+)?(\w+)\s*$",
+                          it.strip(), flags=re.IGNORECASE)
+            if not im or im.group(1) not in aliases:
+                ok = False
+                break
+            root, path, a = im.groups()
+            expr = f"`{root}`{path}"
+            parts.append(f"LATERAL VIEW explode({expr}) __lv{len(parts)} AS `{a}`")
+            aliases.add(a)
+        if not ok:
+            return s
+        return s[:start] + " " + " ".join(parts) + " " + s[end:]
+
+    def _find_from(s: str):
+        m = re.search(r"\bFROM\b", s, flags=re.IGNORECASE)
+        if not m:
+            return None
+        start = m.end()
+        i, depth = start, 0
+        while i < len(s):
+            c = s[i]
+            if c == "'":
+                i = _skip_string(s, i)
+                continue
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            elif depth == 0:
+                w = re.match(r"[A-Za-z_]+", s[i:])
+                if w and w.group(0).upper() in _CLAUSE_KW:
+                    return start, i
+            i += 1
+        return start, len(s)
+
+    return recurse(sql)
+
+
+def _rewrite_distinct_on(sql: str) -> str:
+    """``SELECT DISTINCT ON (keys) items ...`` → ROW_NUMBER + filter."""
+    m = re.search(r"\bSELECT\s+DISTINCT\s+ON\s*\(", sql, flags=re.IGNORECASE)
+    if not m:
+        return sql
+    open_p = sql.index("(", m.start())
+    close_p = _matching(sql, open_p, "(", ")")
+    keys = sql[open_p + 1 : close_p].strip()
+    first_key = _top_level_split(keys)[0].strip()
+    rest = sql[close_p + 1 :]
+    # inject the window column right after the select list
+    body = rest.strip()
+    fpos = _find_kw(body, "FROM")
+    if fpos == -1:
+        return sql
+    items = body[:fpos].rstrip()
+    tail = body[fpos:]
+    inner = (
+        f"SELECT {items}, ROW_NUMBER() OVER (PARTITION BY {keys} "
+        f"ORDER BY {first_key}) AS __rn {tail}"
+    )
+    out = sql[: m.start()] + (
+        f"SELECT * EXCEPT (__rn) FROM ({inner}) WHERE __rn = 1"
+    )
+    return _rewrite_distinct_on(out)
+
+
+def _structify_scalar_subqueries(sql: str) -> str:
+    """Multi-column scalar subquery ``(SELECT a, b FROM ...) AS y`` →
+    single named_struct column (Sneller returns a struct)."""
+    out = sql
+    for m in list(re.finditer(r"\(\s*SELECT\b", out, flags=re.IGNORECASE))[::-1]:
+        open_p = m.start()
+        close_p = _matching(out, open_p, "(", ")")
+        if close_p == -1:
+            continue
+        after = out[close_p + 1 :]
+        if not re.match(r"\s*(AS\s+)?[`\"]?\w+[`\"]?", after, flags=re.IGNORECASE):
+            continue
+        # only when used as an aliased scalar (not FROM-subquery):
+        if re.match(r"\s*(AS\s+)?(WHERE|GROUP|ORDER|LIMIT|ON|JOIN|HAVING|UNION)\b",
+                    after, flags=re.IGNORECASE):
+            continue
+        body = out[open_p + 1 : close_p]
+        sel = re.match(r"\s*SELECT\s+", body, flags=re.IGNORECASE)
+        fpos = _find_kw(body, "FROM")
+        if fpos == -1:
+            continue
+        items = _top_level_split(body[sel.end() : fpos])
+        if len(items) < 2:
+            continue
+        fields = []
+        for idx, it in enumerate(items):
+            it = it.strip()
+            am = re.search(r"\sAS\s+[`\"]?(\w+)[`\"]?\s*$", it, flags=re.IGNORECASE)
+            if am:
+                name, expr = am.group(1), it[: am.start()].strip()
+            else:
+                qm = re.search(r"[`\"](\w+)[`\"]\s*$", it)
+                fm = re.match(r"^(\w+)\s*\(", it)
+                cm = re.match(r"^[\w.]+$", it)
+                if qm:
+                    name, expr = qm.group(1), it[: qm.start()].strip()
+                elif fm and _AGG_ALIAS.get(fm.group(1).upper()):
+                    name, expr = _AGG_ALIAS[fm.group(1).upper()], it
+                elif cm:
+                    name, expr = it.split(".")[-1], it
+                else:
+                    name, expr = f"_{idx + 1}", it
+            fields.append(f"'{name}', {expr}")
+        new_body = body[: sel.end()] + "named_struct(" + ", ".join(fields) + ") " + body[fpos:]
+        out = out[:open_p] + "(" + new_body + ")" + out[close_p + 1 :]
+    return out
+
+
+_AGG_ALIAS = {
+    "COUNT": "count",
+    "SUM": "sum",
+    "MIN": "min",
+    "MAX": "max",
+    "AVG": "avg",
+    "EARLIEST": "earliest",
+    "LATEST": "latest",
+    "APPROX_COUNT_DISTINCT": "approx_count_distinct",
+    "APPROX_PERCENTILE": "approx_percentile",
+    "STDDEV": "stddev",
+    "STDDEV_POP": "stddev_pop",
+    "VARIANCE": "variance",
+    "VARIANCE_POP": "variance_pop",
+    "ROW_NUMBER": "row_number",
+    "RANK": "rank",
+    "DENSE_RANK": "dense_rank",
+    "TIME_BUCKET": "time_bucket",
+    "DATE_TRUNC": "date_trunc",
+    "DATE_ADD": "date_add",
+    "DATE_DIFF": "date_diff",
+    "EXTRACT": "extract",
+}
+
+_DT_UNITS = (
+    "YEAR|QUARTER|MONTH|WEEK|DAY|HOUR|MINUTE|SECOND|MILLISECOND|MICROSECOND"
+)
+
+_INTERVAL_UNIT_US = {
+    "microsecond": 1,
+    "microseconds": 1,
+    "millisecond": 1000,
+    "milliseconds": 1000,
+    "second": 10**6,
+    "seconds": 10**6,
+    "minute": 60 * 10**6,
+    "minutes": 60 * 10**6,
+    "hour": 3600 * 10**6,
+    "hours": 3600 * 10**6,
+    "day": 86400 * 10**6,
+    "days": 86400 * 10**6,
+}
+
+_WEEKDAY_OFF = {  # days to subtract so the week starts on that day
+    "SUNDAY": 0, "MONDAY": 1, "TUESDAY": 2, "WEDNESDAY": 3,
+    "THURSDAY": 4, "FRIDAY": 5, "SATURDAY": 6,
+}
+
+
+def _interval_to_micros(text: str) -> int | None:
+    total = 0
+    for num, unit in re.findall(r"(\d+)\s*([a-z]+)", text.lower()):
+        mult = _INTERVAL_UNIT_US.get(unit)
+        if mult is None:
+            return None
+        total += int(num) * mult
+    return total or None
+
+
+def _call_args(sql: str, name_end: int) -> tuple[int, list[str]] | None:
+    """name_end points just past the function name; returns
+    (close paren index, top-level args)."""
+    m = re.match(r"\s*\(", sql[name_end:])
+    if not m:
+        return None
+    open_p = name_end + m.end() - 1
+    close_p = _matching(sql, open_p, "(", ")")
+    if close_p == -1:
+        return None
+    return close_p, _top_level_split(sql[open_p + 1 : close_p])
+
+
+def _rewrite_calls(sql: str) -> str:
+    """Argument-shape rewrites that need call-site parsing."""
+    # DATE_TRUNC(UNIT, x) / DATE_TRUNC(WEEK(DAY), x) → date_trunc('UNIT', x)
+    def date_trunc(m):
+        got = _call_args(sql_holder[0], m.end())
+        if not got:
+            return None
+        close_p, args = got
+        unit = args[0].strip()
+        rest = ", ".join(a.strip() for a in args[1:])
+        wm = re.match(r"WEEK\s*\(\s*(\w+)\s*\)$", unit, flags=re.IGNORECASE)
+        if wm:
+            off = _WEEKDAY_OFF.get(wm.group(1).upper(), 1)
+            # truncate to the most recent week start anchored on that day
+            return (
+                f"cast(date_sub(cast({rest} as date), "
+                f"pmod(dayofweek(cast({rest} as date)) - 1 - {off}, 7)) as timestamp)",
+                close_p,
+            )
+        if re.match(r"^(" + _DT_UNITS + r")$", unit, flags=re.IGNORECASE):
+            return f"date_trunc('{unit.upper()}', {rest})", close_p
+        return None
+
+    # DATE_ADD(UNIT, n, ts): calendar units get Go-style normalisation
+    def date_add(m):
+        got = _call_args(sql_holder[0], m.end())
+        if not got:
+            return None
+        close_p, args = got
+        if len(args) != 3:
+            return None
+        unit = args[0].strip().upper()
+        n, ts = args[1].strip(), args[2].strip()
+        if unit in ("MONTH", "QUARTER", "YEAR"):
+            months = {"MONTH": "1", "QUARTER": "3", "YEAR": "12"}[unit]
+            # add months to the first-of-month (clamp-free), then re-add
+            # the day offset so overflow days normalise forward
+            # (Sneller follows Go time.AddDate: Jan 31 + 1mo = Mar 3)
+            return (
+                f"timestamp_micros(unix_micros(cast(date_add(add_months("
+                f"trunc(cast({ts} as date), 'MM'), ({n}) * {months}), "
+                f"day(cast({ts} as date)) - 1) as timestamp)) + "
+                f"(unix_micros({ts}) - unix_micros(date_trunc('DAY', {ts}))))",
+                close_p,
+            )
+        if re.match(r"^(" + _DT_UNITS + r")$", unit, flags=re.IGNORECASE):
+            return f"timestampadd({unit}, {n}, {ts})", close_p
+        return None
+
+    def date_diff(m):
+        got = _call_args(sql_holder[0], m.end())
+        if not got:
+            return None
+        close_p, args = got
+        if len(args) != 3:
+            return None
+        unit = args[0].strip().upper()
+        if re.match(r"^(" + _DT_UNITS + r")$", unit):
+            return (
+                f"timestampdiff({unit}, {args[1].strip()}, {args[2].strip()})",
+                close_p,
+            )
+        return None
+
+    # DATE_BIN('interval', ts, origin) → exact micros arithmetic
+    def date_bin(m):
+        got = _call_args(sql_holder[0], m.end())
+        if not got:
+            return None
+        close_p, args = got
+        if len(args) != 3:
+            return None
+        iv = args[0].strip()
+        if not (iv.startswith("'") and iv.endswith("'")):
+            return None
+        us = _interval_to_micros(iv[1:-1])
+        if us is None:
+            return None
+        ts, origin = args[1].strip(), args[2].strip()
+        return (
+            f"timestamp_micros(unix_micros({ts}) - "
+            f"pmod(unix_micros({ts}) - unix_micros({origin}), {us}))",
+            close_p,
+        )
+
+    # TIME_BUCKET(ts, secs) → epoch-seconds bucket (reference returns
+    # unix seconds, vm/testdata/queries/0070-date/time-bucket.test)
+    def time_bucket(m):
+        got = _call_args(sql_holder[0], m.end())
+        if not got:
+            return None
+        close_p, args = got
+        if len(args) != 2:
+            return None
+        ts, secs = args[0].strip(), args[1].strip()
+        return (
+            f"cast((unix_micros({ts}) - pmod(unix_micros({ts}), "
+            f"({secs}) * 1000000)) / 1000000 as bigint)",
+            close_p,
+        )
+
+    def extract(m):
+        got = _call_args(sql_holder[0], m.end())
+        if not got:
+            return None
+        close_p, args = got
+        em = re.match(r"^(\w+)\s+FROM\s+(.*)$", args[0].strip(),
+                      flags=re.IGNORECASE | re.DOTALL)
+        if not em:
+            return None
+        field, expr = em.group(1).upper(), em.group(2).strip()
+        if field == "MICROSECOND":
+            # micros within the minute (date-extract-boxed expectations)
+            return f"pmod(unix_micros({expr}), 60000000)", close_p
+        if field == "MILLISECOND":
+            return f"cast(pmod(unix_micros({expr}), 60000000) / 1000 as bigint)", close_p
+        if field == "DOW":
+            return f"(dayofweek({expr}) - 1)", close_p
+        return None
+
+    def approx_cd(m):
+        got = _call_args(sql_holder[0], m.end())
+        if not got:
+            return None
+        close_p, args = got
+        if len(args) == 2:
+            # precision argument has no Spark analog; drop it
+            return f"approx_count_distinct({args[0].strip()})", close_p
+        return None
+
+    def is_subnet_of(m):
+        got = _call_args(sql_holder[0], m.end())
+        if not got:
+            return None
+        close_p, args = got
+        if len(args) == 3:
+            # reference range form → veneer ip_in_range
+            return f"ip_in_range({', '.join(a.strip() for a in args)})", close_p
+        return None
+
+    def split_part(m):
+        got = _call_args(sql_holder[0], m.end())
+        if not got:
+            return None
+        close_p, args = got
+        if len(args) != 3:
+            return None
+        s, sep, idx = (a.strip() for a in args)
+        if re.fullmatch(r"[1-9]\d*", idx):
+            return None
+        # Sneller yields MISSING for out-of-domain indices; Spark raises
+        return (
+            f"(CASE WHEN ({idx}) >= 1 THEN split_part({s}, {sep}, {idx}) END)",
+            close_p,
+        )
+
+    def trim2(which):
+        # Sneller TRIM(s, cutset); Spark's 2-arg trim is (trimStr, str)
+        def fn(m):
+            got = _call_args(sql_holder[0], m.end())
+            if not got:
+                return None
+            close_p, args = got
+            if len(args) != 2:
+                return None
+            s, cut = (a.strip() for a in args)
+            return f"trim({which} {cut} FROM {s})", close_p
+
+        return fn
+
+    # rules whose replacement re-contains the (lowercase) source name
+    # are matched case-SENSITIVELY so the rewrite terminates
+    rules = [
+        (r"\bDATE_TRUNC\b", date_trunc, re.IGNORECASE),
+        (r"\bDATE_ADD\b", date_add, re.IGNORECASE),
+        (r"\bDATE_DIFF\b", date_diff, re.IGNORECASE),
+        (r"\bDATE_BIN\b", date_bin, re.IGNORECASE),
+        (r"\bTIME_BUCKET\b", time_bucket, re.IGNORECASE),
+        (r"\bEXTRACT\b", extract, re.IGNORECASE),
+        (r"\bAPPROX_COUNT_DISTINCT\b", approx_cd, 0),
+        (r"\bIS_SUBNET_OF\b", is_subnet_of, re.IGNORECASE),
+        (r"\bSPLIT_PART\b", split_part, 0),
+        (r"\bTRIM\b", trim2("BOTH"), 0),
+        (r"\bLTRIM\b", trim2("LEADING"), 0),
+        (r"\bRTRIM\b", trim2("TRAILING"), 0),
+    ]
+    sql_holder = [sql]
+    changed = True
+    guard = 0
+    while changed and guard < 200:
+        changed = False
+        guard += 1
+        for pat, fn, flags in rules:
+            for m in re.finditer(pat, sql_holder[0], flags=flags):
+                res = fn(m)
+                if res is None:
+                    continue
+                repl, close_p = res
+                s = sql_holder[0]
+                sql_holder[0] = s[: m.start()] + repl + s[close_p + 1 :]
+                changed = True
+                break
+            if changed:
+                break
+    return sql_holder[0]
+
+
+def _word_rewrites(seg: str) -> str:
+    # ion timestamp literal → TIMESTAMP '...'
+    seg = re.sub(
+        r"`(\d{4}-\d{2}-\d{2}T[0-9:.]+(?:Z|[+-]\d{2}:?\d{2})?)`",
+        r"TIMESTAMP '\1'",
+        seg,
+    )
+    seg = re.sub(r"\bIS\s+NOT\s+MISSING\b", "IS NOT NULL", seg, flags=re.IGNORECASE)
+    seg = re.sub(r"\bIS\s+MISSING\b", "IS NULL", seg, flags=re.IGNORECASE)
+    seg = re.sub(r"\bMISSING\b", "NULL", seg, flags=re.IGNORECASE)
+    seg = re.sub(r"\bEARLIEST\s*\(", "MIN(", seg, flags=re.IGNORECASE)
+    seg = re.sub(r"\bLATEST\s*\(", "MAX(", seg, flags=re.IGNORECASE)
+    # Sneller INTEGER/FLOAT are 64-bit (ion); Spark INT/FLOAT are 32-bit
+    seg = re.sub(r"\bAS\s+INTEGER\b", "AS BIGINT", seg, flags=re.IGNORECASE)
+    seg = re.sub(r"\bAS\s+INT\b", "AS BIGINT", seg, flags=re.IGNORECASE)
+    seg = re.sub(r"\bAS\s+FLOAT\b", "AS DOUBLE", seg, flags=re.IGNORECASE)
+    # function-name deltas
+    seg = re.sub(r"\bVARIANCE_POP\s*\(", "var_pop(", seg, flags=re.IGNORECASE)
+    seg = re.sub(r"\bTO_UNIX_EPOCH\s*\(", "unix_seconds(", seg, flags=re.IGNORECASE)
+    seg = re.sub(r"\bTO_UNIX_MICRO\s*\(", "unix_micros(", seg, flags=re.IGNORECASE)
+    seg = re.sub(r"\bEXP2\s*\(", "power(2.0, ", seg, flags=re.IGNORECASE)
+    seg = re.sub(r"\bEXP10\s*\(", "power(10.0, ", seg, flags=re.IGNORECASE)
+    seg = re.sub(r"\bLN1P\s*\(", "log1p(", seg, flags=re.IGNORECASE)
+    seg = re.sub(r"\bROUND_EVEN\s*\(", "rint(", seg, flags=re.IGNORECASE)
+    seg = re.sub(r"\bCHAR_LENGTH\s*\(", "length(", seg, flags=re.IGNORECASE)
+    return seg
+
+
+def _tilde_regex(sql: str) -> str:
+    """``expr ~ 'pattern'`` → RLIKE (the pattern is a string literal,
+    so the operator sits at a non-string/string segment boundary)."""
+    segs = _split_strings(sql)
+    out = []
+    for idx, (is_str, text) in enumerate(segs):
+        if (
+            not is_str
+            and idx + 1 < len(segs)
+            and segs[idx + 1][0]
+            and re.search(r"[\w)'`]\s*~\s*$", text)
+        ):
+            text = re.sub(r"~(\s*)$", r" RLIKE \1", text)
+        out.append(text)
+    return "".join(out)
+
+
+def _similar_to(sql: str) -> str:
+    # A SIMILAR TO 'p' → full-anchored RLIKE
+    def repl(m):
+        pat = m.group(2)
+        return f"{m.group(1)}RLIKE '^(?:{pat})$'"
+
+    return re.sub(
+        r"(\s)SIMILAR\s+TO\s+'((?:[^']|'')*)'",
+        repl,
+        sql,
+        flags=re.IGNORECASE,
+    )
+
+
+def _auto_alias(sql: str) -> str:
+    """Sneller's implicit aliases for unaliased top-level call items,
+    with matching ORDER BY / GROUP BY text substitution."""
+    m = re.search(r"\bSELECT\b(\s+DISTINCT\b)?", sql, flags=re.IGNORECASE)
+    if not m:
+        return sql
+    start = m.end()
+    fpos = _find_kw(sql, "FROM", start)
+    end = fpos if fpos != -1 else len(sql)
+    items = _top_level_split(sql[start:end])
+    inserts: list[tuple[int, str]] = []
+    aliased: list[tuple[str, str]] = []
+    offset = start
+    for it in items:
+        s = offset
+        e = offset + len(it)
+        offset = e + 1
+        item = it.strip()
+        if not item or re.search(r"\bAS\s+[`\"]?\w+[`\"]?\s*$", item,
+                                 flags=re.IGNORECASE):
+            continue
+        fm = re.match(r"^(\w+)\s*\(", item)
+        if not fm:
+            continue
+        alias = _AGG_ALIAS.get(fm.group(1).upper())
+        if not alias:
+            continue
+        # whole item must be one call (+ optional FILTER / OVER clause)
+        rest = item[len(fm.group(1)) :].lstrip()
+        if not rest.startswith("("):
+            continue
+        close = _matching(rest, 0, "(", ")")
+        tail = rest[close + 1 :].strip()
+        if tail and not re.match(r"^(FILTER|OVER)\s*\(", tail, flags=re.IGNORECASE):
+            continue
+        if tail:
+            tclose = _matching(tail, tail.index("("), "(", ")")
+            if tail[tclose + 1 :].strip():
+                continue
+        inserts.append((e, f" AS {alias} "))
+        aliased.append((item, alias))
+    for pos, text in sorted(inserts, reverse=True):
+        sql = sql[:pos] + text + sql[pos:]
+    # ORDER BY SUM(x) → ORDER BY sum (Spark can't always re-resolve the
+    # aggregate expression after windows are involved)
+    for item, alias in aliased:
+        for kw in ("ORDER\\s+BY", "GROUP\\s+BY"):
+            mm = re.search(kw, sql, flags=re.IGNORECASE)
+            if not mm:
+                continue
+            clause_start = mm.end()
+            sql = sql[:clause_start] + sql[clause_start:].replace(item, alias)
+    return sql
+
+
+_RESERVED_ALIASES = ("outer",)
+
+
+def _quote_reserved(seg: str) -> str:
+    for w in _RESERVED_ALIASES:
+        seg = re.sub(rf"(?<![\w`.]){w}(?![\w`])", f"`{w}`", seg, flags=re.IGNORECASE)
+    return seg
+
+
+def translate(query: str) -> str:
+    sql = query
+    sql = _rewrite_outside_strings(sql, lambda s: s.replace('"', "`"))
+    sql = _rewrite_outside_strings(sql, _fold_int_products)
+    sql = _constructors(sql)
+    sql = _rewrite_unpivot(sql)
+    sql = _rewrite_lateral_unnest(sql)
+    sql = _rewrite_distinct_on(sql)
+    sql = _structify_scalar_subqueries(sql)
+    sql = _similar_to(sql)
+    sql = _tilde_regex(sql)
+    sql = _rewrite_outside_strings(sql, _word_rewrites)
+    sql = _rewrite_calls(sql)
+    sql = _auto_alias(sql)
+    sql = _rewrite_outside_strings(sql, _quote_reserved)
+    return sql
+
+
+# ---------------------------------------------------------------------------
+# input loading with Sneller-style ingestion typing
+
+
+def classify_columns(input_lines: list[str]) -> tuple[dict[str, set], list[str]]:
+    seen: dict[str, set] = {}
+    for line in input_lines:
+        try:
+            row = json.loads(line)
+        except Exception:  # noqa: BLE001
+            continue
+        if not isinstance(row, dict):
+            continue
+        for k, v in row.items():
+            if v is None:
+                continue
+            seen.setdefault(k, set()).add(type(v).__name__)
+    mixed = [
+        k for k, t in seen.items() if len(t) > 1 and not t <= {"int", "float"}
+    ]
+    return seen, sorted(mixed)
+
+
+def _all_timestamps(input_lines: list[str], col: str) -> bool:
+    saw = False
+    for line in input_lines:
+        row = json.loads(line)
+        v = row.get(col) if isinstance(row, dict) else None
+        if v is None:
+            continue
+        if not isinstance(v, str) or not _TS_RE.match(v):
+            return False
+        saw = True
+    return saw
+
+
+def load_input(spark, input_lines: list[str]):
+    from pyspark.sql import functions as F
+
+    rdd = spark.sparkContext.parallelize(input_lines or ["{}"], 2)
+    df = spark.read.json(rdd)
+    types, _ = classify_columns(input_lines)
+    for col, tnames in types.items():
+        if tnames == {"str"} and col in df.columns and _all_timestamps(input_lines, col):
+            df = df.withColumn(col, F.to_timestamp(F.col(col)))
+    return df
+
+
+def _register_inputs(spark, inputs: list[list[str]]) -> dict[str, "object"]:
+    views: dict[str, object] = {}
+    if len(inputs) == 1:
+        df = load_input(spark, inputs[0])
+        df.createOrReplaceTempView("input")
+        views["input"] = df
+    else:
+        for i, lines in enumerate(inputs):
+            df = load_input(spark, lines)
+            df.createOrReplaceTempView(f"input{i}")
+            views[f"input{i}"] = df
+    return views
+
+
+def _union_by_name(dfs):
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d, allowMissingColumns=True)
+    return out
+
+
+_GLOB_COUNT = [0]
+
+
+def _table_refs(spark, sql: str, views: dict) -> str:
+    """Resolve ``++`` concatenation and TABLE_GLOB/TABLE_PATTERN against
+    the registered input views (the reference resolves them against its
+    table namespace, testquery.go:453)."""
+    plus = re.compile(r"([A-Za-z_]\w*)(\s*\+\+\s*[A-Za-z_]\w*)+")
+    m = plus.search(sql)
+    while m:
+        names = re.findall(r"[A-Za-z_]\w*", m.group(0))
+        dfs = [views[n] for n in names if n in views]
+        _GLOB_COUNT[0] += 1
+        vname = f"__concat{_GLOB_COUNT[0]}"
+        _union_by_name(dfs).createOrReplaceTempView(vname)
+        sql = sql[: m.start()] + vname + sql[m.end() :]
+        m = plus.search(sql)
+
+    def table_fn(m2):
+        kind = m2.group(1).upper()
+        pat = m2.group(2)
+        if kind == "TABLE_GLOB":
+            names = [n for n in views if fnmatch.fnmatchcase(n, pat)]
+        else:
+            rx = re.compile(pat)
+            names = [n for n in views if rx.fullmatch(n)]
+        if not names:
+            return m2.group(0)
+        _GLOB_COUNT[0] += 1
+        vname = f"__glob{_GLOB_COUNT[0]}"
+        _union_by_name([views[n] for n in sorted(names)]).createOrReplaceTempView(vname)
+        return vname
+
+    sql = re.sub(
+        r"\b(TABLE_GLOB|TABLE_PATTERN)\s*\(\s*[\"']([^\"']+)[\"']\s*\)",
+        table_fn,
+        sql,
+    )
+    return sql
+
+
+# ---------------------------------------------------------------------------
+# comparison under the MISSING-vs-NULL output discipline
+
+
+def _canon_value(v):
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return v
+    if hasattr(v, "toPython"):  # VariantVal
+        return _canon_value(v.toPython())
+    if isinstance(v, decimal.Decimal):
+        v = float(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return None
+        if v == int(v) and abs(v) < 2**53:
+            return int(v)
+        return round(v, 9)
+    if isinstance(v, datetime.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        if v.microsecond:
+            return v.strftime("%Y-%m-%dT%H:%M:%S.%f").rstrip("0") + "Z"
+        return v.strftime("%Y-%m-%dT%H:%M:%SZ")
+    if isinstance(v, datetime.date):
+        return v.strftime("%Y-%m-%dT00:00:00Z")
+    if isinstance(v, str) and _TS_RE.match(v):
+        s = v.replace("+00:00", "Z")
+        if not s.endswith("Z"):
+            s += "Z"
+        if "." in s:
+            head, tail = s.split(".", 1)
+            frac = tail[:-1].rstrip("0")
+            return head + ("." + frac if frac else "") + "Z"
+        return s
+    if isinstance(v, list):
+        return tuple(_canon_value(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(
+            sorted((k, _canon_value(x)) for k, x in v.items() if x is not None)
+        )
+    if hasattr(v, "asDict"):
+        return _canon_value(v.asDict(recursive=True))
+    return v
+
+
+def canon_row(d: dict) -> tuple:
+    # Sneller omits MISSING fields from output; Spark emits NULL
+    # columns — under MISSING≡NULL both drop
+    return tuple(
+        sorted(
+            (k, _canon_value(v))
+            for k, v in d.items()
+            if v is not None and _canon_value(v) is not None
+        )
+    )
+
+
+def is_ordered(query: str) -> bool:
+    depth = 0
+    for m in re.finditer(r"[()]|ORDER\s+BY", query, flags=re.IGNORECASE):
+        tok = m.group(0)
+        if tok == "(":
+            depth += 1
+        elif tok == ")":
+            depth -= 1
+        elif depth == 0:
+            return True
+    return False
+
+
+def compare(got: list[dict], expected: list[dict], ordered: bool) -> str | None:
+    got_c = [canon_row(r) for r in got]
+    exp_c = [canon_row(r) for r in expected]
+    if not ordered:
+        got_c, exp_c = sorted(got_c, key=repr), sorted(exp_c, key=repr)
+    if got_c == exp_c:
+        return None
+    for i, (g, e) in enumerate(zip(got_c, exp_c)):
+        if g != e:
+            return f"row {i}: got {g} expected {e}"
+    return f"row count {len(got_c)} vs {len(exp_c)}: got {got_c[:3]} expected {exp_c[:3]}"
+
+
+# ---------------------------------------------------------------------------
+# runner
+
+_UDFS_REGISTERED: set[int] = set()
+
+
+def ensure_replay_udfs(spark) -> None:
+    """Register python-backed reference builtins the SQL veneer can't
+    express (GEO_HASH base32 interleaving; numpy kernel shared with
+    functions/scalar.py, batched per distinct precision)."""
+    if id(spark) in _UDFS_REGISTERED:
+        return
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from sneller_spark.functions.scalar import _geohash_kernel
+
+    def _geo_hash(lat: pd.Series, lon: pd.Series, prec: pd.Series) -> pd.Series:
+        out = pd.Series([None] * len(lat), dtype="object")
+        for p in prec.dropna().unique():
+            mask = (prec == p).fillna(False)
+            out[mask] = _geohash_kernel(
+                lat[mask].to_numpy(), lon[mask].to_numpy(), int(p)
+            ).to_numpy()
+        return out
+
+    _geo_hash.__annotations__ = {
+        "lat": pd.Series, "lon": pd.Series, "prec": pd.Series,
+        "return": pd.Series,
+    }
+    spark.udf.register("geo_hash", F.pandas_udf("string")(_geo_hash))
+    _UDFS_REGISTERED.add(id(spark))
+
+
+def _err_text(exc) -> str:
+    s = str(exc) or repr(exc)
+    for line in s.strip().splitlines():
+        if line.strip():
+            return line.strip()[:300]
+    return repr(exc)[:300]
+
+
+def run_case(spark, path: str) -> dict:
+    rel = os.path.relpath(path, REFERENCE_QUERIES)
+    try:
+        query, inputs, expected = parse_case(path)
+    except Exception as exc:  # noqa: BLE001
+        return {"case": rel, "status": "parse-error", "detail": _err_text(exc)}
+    mixed_all = sorted(
+        {c for lines in inputs for c in classify_columns(lines)[1]}
+    )
+    if mixed_all:
+        return {"case": rel, "status": "mixed-type", "detail": ",".join(mixed_all)}
+
+    ensure_replay_udfs(spark)
+    prev_ansi = spark.conf.get("spark.sql.ansi.enabled", None)
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try:
+        views = _register_inputs(spark, inputs)
+        sql = _table_refs(spark, query, views)
+        sql = translate(sql)
+        got = None
+        for attempt in range(4):
+            try:
+                got = [
+                    r.asDict(recursive=True) for r in spark.sql(sql).collect()
+                ]
+                break
+            except Exception as exc:  # noqa: BLE001
+                msg = str(exc)
+                # schemaless discipline: a referenced-but-absent field is
+                # MISSING in the reference; add it as a NULL column
+                um = re.search(
+                    r"(?:UNRESOLVED_COLUMN|FIELD_NOT_FOUND)[^`]*`(\w+)`", msg
+                )
+                if um and len(views) == 1 and attempt < 3:
+                    from pyspark.sql import functions as F
+
+                    name, df = next(iter(views.items()))
+                    col = um.group(1)
+                    if col not in df.columns:
+                        df = df.withColumn(col, F.lit(None).cast("string"))
+                        df.createOrReplaceTempView(name)
+                        views[name] = df
+                        continue
+                if "VARIANT" in msg and "__ve.value" in sql and attempt < 3:
+                    sql = sql.replace(
+                        "__ve.value AS", "cast(__ve.value as string) AS"
+                    )
+                    continue
+                return {"case": rel, "status": "error", "detail": _err_text(exc)}
+        diff = compare(got, expected, is_ordered(sql))
+    finally:
+        if prev_ansi is not None:
+            spark.conf.set("spark.sql.ansi.enabled", prev_ansi)
+    if diff is None:
+        return {"case": rel, "status": "pass", "sql": sql}
+    return {"case": rel, "status": "mismatch", "detail": diff[:400], "sql": sql}

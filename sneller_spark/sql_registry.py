@@ -170,6 +170,12 @@ _DEFINITIONS: list[str] = [
     """CREATE OR REPLACE TEMPORARY FUNCTION cm_bucket(item STRING, d INT, width INT, seed INT)
        RETURNS BIGINT
        RETURN pmod(xxhash64(item, seed + d), width)""",
+    # -- arrays (reference ARRAY_SUM, expr/builtin.go; NULL elements
+    # are skipped, an all-NULL/empty array still sums to 0) -----------
+    """CREATE OR REPLACE TEMPORARY FUNCTION array_sum(a ARRAY<DOUBLE>)
+       RETURNS DOUBLE
+       RETURN aggregate(a, cast(0 as double),
+                        (acc, x) -> acc + coalesce(x, cast(0 as double)))""",
 ]
 
 #: names this module registers, in registration order (dependencies
@@ -181,6 +187,7 @@ SQL_FUNCTION_NAMES = [
     "time_bucket", "date_bin",
     "geo_distance", "geo_tile_x", "geo_tile_y", "geo_tile_es",
     "split_bucket", "split_label", "sample_keep", "cm_bucket",
+    "array_sum",
 ]
 
 
