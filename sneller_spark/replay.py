@@ -123,7 +123,7 @@ def _section_lines(block: str, strip_trailing: bool) -> list[str]:
 def parse_case(path: str) -> tuple[str, list[list[str]], list[dict]]:
     """Return (query, input sections, expected rows)."""
     text = open(path, errors="replace").read()
-    parts = re.split(r"^---\s*$", text, flags=re.MULTILINE)
+    parts = re.split(r"^-{3,}\s*$", text, flags=re.MULTILINE)
     if len(parts) < 3:
         raise ValueError(f"{path}: expected >=3 sections, got {len(parts)}")
     query = "\n".join(_section_lines(parts[0], strip_trailing=True))
@@ -362,9 +362,12 @@ def _rewrite_unpivot(sql: str) -> str:
             proj.append(f"__ve.value AS {val}")
         if not proj:
             proj = ["__ve.key AS key", "__ve.value AS value"]
+        # star is not allowed inside TVF arguments, so the row JSON is
+        # computed one subquery down
         repl = (
-            f"(SELECT {', '.join(proj)} FROM {rel} AS __upv, "
-            f"LATERAL variant_explode(parse_json(to_json(struct(__upv.*)))) AS __ve)"
+            f"(SELECT {', '.join(proj)} FROM "
+            f"(SELECT to_json(struct(*)) AS __js FROM {rel}) AS __upv, "
+            f"LATERAL variant_explode(parse_json(__upv.__js)) AS __ve)"
         )
         sql = sql[: m.start()] + repl + sql[i:]
     return sql
@@ -406,8 +409,11 @@ def _rewrite_lateral_unnest(sql: str) -> str:
         if len(items) < 2:
             return s
         first = items[0].strip()
-        fm = re.match(r"^([A-Za-z_][\w.]*|\((?s:.*)\))\s*(?:AS\s+)?(\w+)?\s*$",
-                      first, flags=re.IGNORECASE)
+        fm = re.match(
+            r"^([A-Za-z_][\w.]*|\((?s:.*)\))\s*(?:AS\s+)?[`\"]?([\w$]+)?[`\"]?\s*$",
+            first,
+            flags=re.IGNORECASE,
+        )
         if not fm:
             return s
         base, alias = fm.group(1), fm.group(2)
@@ -415,12 +421,18 @@ def _rewrite_lateral_unnest(sql: str) -> str:
         parts = [f"{base} AS `{alias}`" if alias else base]
         ok = True
         for it in items[1:]:
-            im = re.match(r"^([A-Za-z_]\w*)((?:\.\w+)*)\s*(?:AS\s+)?(\w+)\s*$",
-                          it.strip(), flags=re.IGNORECASE)
+            im = re.match(
+                r"^[`\"]?([\w$]+)[`\"]?((?:\.[`\"]?[\w$]+[`\"]?)*)\s*"
+                r"(?:AS\s+)?[`\"]?([\w$]+)[`\"]?\s*$",
+                it.strip(),
+                flags=re.IGNORECASE,
+            )
             if not im or im.group(1) not in aliases:
                 ok = False
                 break
             root, path, a = im.groups()
+            path = re.sub(r'[`"]', "", path)
+            path = "".join(f".`{p}`" for p in path.split(".") if p)
             expr = f"`{root}`{path}"
             parts.append(f"LATERAL VIEW explode({expr}) __lv{len(parts)} AS `{a}`")
             aliases.add(a)
@@ -453,11 +465,12 @@ def _rewrite_lateral_unnest(sql: str) -> str:
     return recurse(sql)
 
 
-def _rewrite_distinct_on(sql: str) -> str:
+def _rewrite_distinct_on(sql: str, _n: int = 0) -> str:
     """``SELECT DISTINCT ON (keys) items ...`` → ROW_NUMBER + filter."""
     m = re.search(r"\bSELECT\s+DISTINCT\s+ON\s*\(", sql, flags=re.IGNORECASE)
     if not m:
         return sql
+    rn = f"__rn{_n}"
     open_p = sql.index("(", m.start())
     close_p = _matching(sql, open_p, "(", ")")
     keys = sql[open_p + 1 : close_p].strip()
@@ -472,12 +485,12 @@ def _rewrite_distinct_on(sql: str) -> str:
     tail = body[fpos:]
     inner = (
         f"SELECT {items}, ROW_NUMBER() OVER (PARTITION BY {keys} "
-        f"ORDER BY {first_key}) AS __rn {tail}"
+        f"ORDER BY {first_key}) AS {rn} {tail}"
     )
     out = sql[: m.start()] + (
-        f"SELECT * EXCEPT (__rn) FROM ({inner}) WHERE __rn = 1"
+        f"SELECT * EXCEPT ({rn}) FROM ({inner}) WHERE {rn} = 1"
     )
-    return _rewrite_distinct_on(out)
+    return _rewrite_distinct_on(out, _n + 1)
 
 
 def _structify_scalar_subqueries(sql: str) -> str:
@@ -619,6 +632,14 @@ def _rewrite_calls(sql: str) -> str:
                 f"pmod(dayofweek(cast({rest} as date)) - 1 - {off}, 7)) as timestamp)",
                 close_p,
             )
+        if unit.upper() == "WEEK":
+            # Sneller's WEEK with no day anchors on Sunday
+            # (date-trunc-dow-no-day-specified)
+            return (
+                f"cast(date_sub(cast({rest} as date), "
+                f"pmod(dayofweek(cast({rest} as date)) - 1, 7)) as timestamp)",
+                close_p,
+            )
         if re.match(r"^(" + _DT_UNITS + r")$", unit, flags=re.IGNORECASE):
             return f"date_trunc('{unit.upper()}', {rest})", close_p
         return None
@@ -695,9 +716,11 @@ def _rewrite_calls(sql: str) -> str:
         if len(args) != 2:
             return None
         ts, secs = args[0].strip(), args[1].strip()
+        # cast before multiplying: a plain INT literal would wrap at
+        # 2^31 micros (35 min)
         return (
             f"cast((unix_micros({ts}) - pmod(unix_micros({ts}), "
-            f"({secs}) * 1000000)) / 1000000 as bigint)",
+            f"cast({secs} as bigint) * 1000000)) / 1000000 as bigint)",
             close_p,
         )
 
@@ -718,6 +741,9 @@ def _rewrite_calls(sql: str) -> str:
             return f"cast(pmod(unix_micros({expr}), 60000000) / 1000 as bigint)", close_p
         if field == "DOW":
             return f"(dayofweek({expr}) - 1)", close_p
+        if field == "SECOND":
+            # Sneller yields the integer second; Spark a DECIMAL(8,6)
+            return f"cast(floor(extract(SECOND FROM {expr})) as bigint)", close_p
         return None
 
     def approx_cd(m):
@@ -756,6 +782,81 @@ def _rewrite_calls(sql: str) -> str:
             close_p,
         )
 
+    def approx_pct(m):
+        got = _call_args(sql_holder[0], m.end())
+        if not got:
+            return None
+        close_p, args = got
+        if len(args) != 2:
+            return None
+        # the reference's t-digest interpolates; exact interpolating
+        # percentile is its small-data fixpoint
+        return (
+            f"percentile({args[0].strip()}, {args[1].strip()})",
+            close_p,
+        )
+
+    def substring_clamp(m):
+        got = _call_args(sql_holder[0], m.end())
+        if not got:
+            return None
+        close_p, args = got
+        if len(args) not in (2, 3):
+            return None
+        pos = args[1].strip()
+        if re.fullmatch(r"[1-9]\d*", pos) or pos.startswith("greatest("):
+            return None
+        # SUBSTRING(s, <=0, n) means SUBSTRING(s, 1, n) in the
+        # reference (string-substr-1.test header comment); Spark counts
+        # negative positions from the end
+        args[1] = f"greatest({pos}, 1)"
+        return (
+            f"substring({', '.join(a.strip() for a in args)})",
+            close_p,
+        )
+
+    def trunc_num(m):
+        got = _call_args(sql_holder[0], m.end())
+        if not got:
+            return None
+        close_p, args = got
+        if len(args) != 1:
+            return None
+        x = args[0].strip()
+        # numeric truncation toward zero (Spark's trunc is date-only)
+        return f"({x} - ({x} % 1))", close_p
+
+    def utcnow(m):
+        got = _call_args(sql_holder[0], m.end())
+        if not got:
+            return None
+        close_p, args = got
+        return "current_timestamp()", close_p
+
+    def contains_fuzzy(m):
+        got = _call_args(sql_holder[0], m.end())
+        if not got:
+            return None
+        close_p, args = got
+        if len(args) != 3:
+            return None
+        data, needle, t = (a.strip() for a in args)
+        if not (needle.startswith("'") and needle.endswith("'")):
+            return None
+        try:
+            edits = int(t)
+        except ValueError:
+            return None
+        n = len(needle) - 2
+        ors = " OR ".join(
+            f"levenshtein(substring({data}, __i, {w}), {needle}) <= {edits}"
+            for w in range(max(n - edits, 0), n + edits + 1)
+        )
+        return (
+            f"exists(sequence(1, greatest(length({data}), 1)), __i -> ({ors}))",
+            close_p,
+        )
+
     def trim2(which):
         # Sneller TRIM(s, cutset); Spark's 2-arg trim is (trimStr, str)
         def fn(m):
@@ -780,11 +881,16 @@ def _rewrite_calls(sql: str) -> str:
         (r"\bTIME_BUCKET\b", time_bucket, re.IGNORECASE),
         (r"\bEXTRACT\b", extract, re.IGNORECASE),
         (r"\bAPPROX_COUNT_DISTINCT\b", approx_cd, 0),
+        (r"\bAPPROX_PERCENTILE\b", approx_pct, 0),
         (r"\bIS_SUBNET_OF\b", is_subnet_of, re.IGNORECASE),
         (r"\bSPLIT_PART\b", split_part, 0),
         (r"\bTRIM\b", trim2("BOTH"), 0),
         (r"\bLTRIM\b", trim2("LEADING"), 0),
         (r"\bRTRIM\b", trim2("TRAILING"), 0),
+        (r"\bSUBSTRING\b", substring_clamp, 0),
+        (r"\bTRUNC\b", trunc_num, 0),
+        (r"\bUTCNOW\b", utcnow, re.IGNORECASE),
+        (r"\bCONTAINS_FUZZY(?:_UNICODE)?\b", contains_fuzzy, 0),
     ]
     sql_holder = [sql]
     changed = True
@@ -825,6 +931,16 @@ def _word_rewrites(seg: str) -> str:
     seg = re.sub(r"\bAS\s+FLOAT\b", "AS DOUBLE", seg, flags=re.IGNORECASE)
     # function-name deltas
     seg = re.sub(r"\bVARIANCE_POP\s*\(", "var_pop(", seg, flags=re.IGNORECASE)
+    seg = re.sub(r"\bEQUALS_FUZZY_UNICODE\s*\(", "equals_fuzzy(", seg,
+                 flags=re.IGNORECASE)
+    # Sneller gives & higher precedence than | (int-bitwise-const-prop);
+    # Spark parses them left-associatively at one level
+    seg = re.sub(
+        r"(?<![\w(])([\w.]+\s*&\s*[\w.]+)(?=\s*\|)", r"(\1)", seg
+    )
+    seg = re.sub(
+        r"(?<=\|)(\s*)([\w.]+\s*&\s*[\w.]+)(?![\w(]|\s*&)", r"\1(\2)", seg
+    )
     seg = re.sub(r"\bTO_UNIX_EPOCH\s*\(", "unix_seconds(", seg, flags=re.IGNORECASE)
     seg = re.sub(r"\bTO_UNIX_MICRO\s*\(", "unix_micros(", seg, flags=re.IGNORECASE)
     seg = re.sub(r"\bEXP2\s*\(", "power(2.0, ", seg, flags=re.IGNORECASE)
@@ -853,13 +969,36 @@ def _tilde_regex(sql: str) -> str:
 
 
 def _similar_to(sql: str) -> str:
-    # A SIMILAR TO 'p' → full-anchored RLIKE
+    # the reference's SIMILAR TO takes a Go regex and, like `~`,
+    # partial-matches (0062-string-similar-to uses explicit ^ anchors)
+    return re.sub(r"\bSIMILAR\s+TO\b", "RLIKE", sql, flags=re.IGNORECASE)
+
+
+def _like_escape(sql: str) -> str:
+    """``x LIKE 'pat' ESCAPE 'c'`` → RLIKE: the reference allows the
+    escape char before ordinary characters, Spark's LIKE validator
+    rejects it."""
+
     def repl(m):
-        pat = m.group(2)
-        return f"{m.group(1)}RLIKE '^(?:{pat})$'"
+        pat, esc = m.group(1), m.group(2)
+        out, i = [], 0
+        while i < len(pat):
+            c = pat[i]
+            if c == esc and i + 1 < len(pat):
+                out.append(re.escape(pat[i + 1]))
+                i += 2
+                continue
+            if c == "%":
+                out.append("(?s:.*)")
+            elif c == "_":
+                out.append("(?s:.)")
+            else:
+                out.append(re.escape(c))
+            i += 1
+        return f"RLIKE '^{''.join(out)}$'"
 
     return re.sub(
-        r"(\s)SIMILAR\s+TO\s+'((?:[^']|'')*)'",
+        r"\bLIKE\s+'((?:[^']|'')*)'\s+ESCAPE\s+'(.)'",
         repl,
         sql,
         flags=re.IGNORECASE,
@@ -910,14 +1049,74 @@ def _auto_alias(sql: str) -> str:
     for pos, text in sorted(inserts, reverse=True):
         sql = sql[:pos] + text + sql[pos:]
     # ORDER BY SUM(x) → ORDER BY sum (Spark can't always re-resolve the
-    # aggregate expression after windows are involved)
+    # aggregate expression after windows are involved); only the final
+    # top-level clause — never inside an OVER (...)
     for item, alias in aliased:
-        for kw in ("ORDER\\s+BY", "GROUP\\s+BY"):
-            mm = re.search(kw, sql, flags=re.IGNORECASE)
-            if not mm:
+        for kw in ("ORDER", "GROUP"):
+            pos = _find_kw(sql, kw + r"\s+BY")
+            if pos == -1:
                 continue
-            clause_start = mm.end()
-            sql = sql[:clause_start] + sql[clause_start:].replace(item, alias)
+            sql = sql[:pos] + sql[pos:].replace(item, alias)
+    return sql
+
+
+_INT_OPERAND = r"(CAST\((?:[^()]|\([^()]*\))*AS BIGINT\)|-?\d+(?![\d.eE]))"
+
+
+_VENEER_IN_SORT = re.compile(
+    r"\b(inner_product|l1_distance|l2_distance|cosine_distance|ip_in_range|"
+    r"is_subnet_of|contains_ci|equals_ci|equals_fuzzy|geo_distance|"
+    r"geo_tile_\w+|array_sum)\b",
+    re.IGNORECASE,
+)
+
+
+def _orderby_udf_wrap(sql: str) -> str:
+    """SQL UDFs are not supported inside Sort; materialise such ORDER
+    BY expressions one subquery down."""
+    pos = _find_kw(sql, r"ORDER\s+BY")
+    if pos == -1:
+        return sql
+    after = sql[pos:]
+    lim = _find_kw(after, "LIMIT")
+    clause = after[len("ORDER BY") :] if lim == -1 else after[: lim]
+    clause = re.sub(r"^\s*ORDER\s+BY", "", clause, flags=re.IGNORECASE)
+    if not _VENEER_IN_SORT.search(clause):
+        return sql
+    tail = "" if lim == -1 else after[lim:]
+    exprs = []
+    orders = []
+    for i, item in enumerate(_top_level_split(clause)):
+        item = item.strip()
+        dm = re.search(r"\s+(ASC|DESC)(\s+NULLS\s+(FIRST|LAST))?$", item,
+                       flags=re.IGNORECASE)
+        direction = dm.group(0) if dm else ""
+        expr = item[: dm.start()] if dm else item
+        exprs.append(f"{expr} AS __ord{i}")
+        orders.append(f"__ord{i}{direction}")
+    m = re.search(r"\bSELECT\b(\s+DISTINCT\b)?", sql, flags=re.IGNORECASE)
+    fpos = _find_kw(sql, "FROM", m.end())
+    if fpos == -1 or fpos > pos:
+        return sql
+    items_txt = sql[m.end() : fpos].strip()
+    middle = sql[fpos:pos]
+    ords = ", ".join(f"__ord{i}" for i in range(len(exprs)))
+    inner = f"SELECT {items_txt}, {', '.join(exprs)} {middle}"
+    return (
+        f"SELECT * EXCEPT ({ords}) FROM ({inner}) "
+        f"ORDER BY {', '.join(orders)} {tail}"
+    )
+
+
+def _int_division(sql: str) -> str:
+    """Sneller's ``/`` on two integers is integer division (truncating,
+    int-arith expectations); rewrite syntactically-integer operand
+    pairs to Spark's DIV."""
+    pat = re.compile(_INT_OPERAND + r"\s*/\s*" + _INT_OPERAND)
+    prev = None
+    while prev != sql:
+        prev = sql
+        sql = pat.sub(r"(\1 DIV \2)", sql)
     return sql
 
 
@@ -940,9 +1139,12 @@ def translate(query: str) -> str:
     sql = _rewrite_distinct_on(sql)
     sql = _structify_scalar_subqueries(sql)
     sql = _similar_to(sql)
+    sql = _like_escape(sql)
     sql = _tilde_regex(sql)
     sql = _rewrite_outside_strings(sql, _word_rewrites)
     sql = _rewrite_calls(sql)
+    sql = _int_division(sql)
+    sql = _orderby_udf_wrap(sql)
     sql = _auto_alias(sql)
     sql = _rewrite_outside_strings(sql, _quote_reserved)
     return sql
@@ -1076,7 +1278,9 @@ def _canon_value(v):
             return None
         if v == int(v) and abs(v) < 2**53:
             return int(v)
-        return round(v, 9)
+        # 12 significant digits: differences beyond that are libm
+        # last-ulp noise, not semantic divergence
+        return float(f"{v:.12g}")
     if isinstance(v, datetime.datetime):
         if v.tzinfo is not None:
             v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
@@ -1131,8 +1335,11 @@ def is_ordered(query: str) -> bool:
 
 
 def compare(got: list[dict], expected: list[dict], ordered: bool) -> str | None:
-    got_c = [canon_row(r) for r in got]
-    exp_c = [canon_row(r) for r in expected]
+    # a global aggregate over no rows yields an all-MISSING record that
+    # the reference does not emit; under MISSING≡NULL an all-null row
+    # and an absent row are the same
+    got_c = [c for c in (canon_row(r) for r in got) if c != ()]
+    exp_c = [c for c in (canon_row(r) for r in expected) if c != ()]
     if not ordered:
         got_c, exp_c = sorted(got_c, key=repr), sorted(exp_c, key=repr)
     if got_c == exp_c:
@@ -1191,9 +1398,13 @@ def run_case(spark, path: str) -> dict:
         query, inputs, expected = parse_case(path)
     except Exception as exc:  # noqa: BLE001
         return {"case": rel, "status": "parse-error", "detail": _err_text(exc)}
-    mixed_all = sorted(
-        {c for lines in inputs for c in classify_columns(lines)[1]}
-    )
+    if re.search(r"\+\+|TABLE_GLOB|TABLE_PATTERN", query):
+        # concatenated tables share one schema: classify the union
+        mixed_all = classify_columns([l for lines in inputs for l in lines])[1]
+    else:
+        mixed_all = sorted(
+            {c for lines in inputs for c in classify_columns(lines)[1]}
+        )
     if mixed_all:
         return {"case": rel, "status": "mixed-type", "detail": ",".join(mixed_all)}
 
@@ -1216,24 +1427,33 @@ def run_case(spark, path: str) -> dict:
                 # schemaless discipline: a referenced-but-absent field is
                 # MISSING in the reference; add it as a NULL column
                 um = re.search(
-                    r"(?:UNRESOLVED_COLUMN|FIELD_NOT_FOUND)[^`]*`(\w+)`", msg
+                    r"(?:UNRESOLVED_COLUMN|FIELD_NOT_FOUND)[^`]*`([\w.`]+)`",
+                    msg,
                 )
-                if um and len(views) == 1 and attempt < 3:
+                if um and attempt < 3:
                     from pyspark.sql import functions as F
 
-                    name, df = next(iter(views.items()))
-                    col = um.group(1)
-                    if col not in df.columns:
-                        df = df.withColumn(col, F.lit(None).cast("string"))
-                        df.createOrReplaceTempView(name)
-                        views[name] = df
+                    col = um.group(1).split("`")[-1].split(".")[-1]
+                    patched = False
+                    for name, df in list(views.items()):
+                        if col not in df.columns:
+                            df = df.withColumn(col, F.lit(None).cast("string"))
+                            df.createOrReplaceTempView(name)
+                            views[name] = df
+                            patched = True
+                    if patched:
                         continue
                 if "VARIANT" in msg and "__ve.value" in sql and attempt < 3:
                     sql = sql.replace(
                         "__ve.value AS", "cast(__ve.value as string) AS"
                     )
                     continue
-                return {"case": rel, "status": "error", "detail": _err_text(exc)}
+                return {
+                    "case": rel,
+                    "status": "error",
+                    "detail": _err_text(exc),
+                    "sql": sql,
+                }
         diff = compare(got, expected, is_ordered(sql))
     finally:
         if prev_ansi is not None:
