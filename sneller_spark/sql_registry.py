@@ -176,6 +176,45 @@ _DEFINITIONS: list[str] = [
        RETURNS DOUBLE
        RETURN aggregate(a, cast(0 as double),
                         (acc, x) -> acc + coalesce(x, cast(0 as double)))""",
+    # -- reference APPROX_PERCENTILE fixpoint (expr/blob.go t-digest;
+    # at test scale every point is a singleton centroid, so the t-digest
+    # quantile reduces to linear interpolation between sorted values at
+    # centers (i+0.5)/n, computed in float32) ------------------------
+    # whole computation in float32, matching the reference's float32
+    # centroid arithmetic (q*n, the -0.5 shift, frac and the lerp all
+    # round to float32 at each step)
+    """CREATE OR REPLACE TEMPORARY FUNCTION approx_percentile_td(a ARRAY<FLOAT>, q FLOAT)
+       RETURNS DOUBLE
+       RETURN cast(
+         CASE WHEN size(a) = 0 OR q IS NULL THEN NULL
+              WHEN q * cast(size(a) as float) <= cast(0.5 as float)
+                THEN element_at(a, 1)
+              WHEN q * cast(size(a) as float)
+                   >= cast(size(a) as float) - cast(0.5 as float)
+                THEN element_at(a, size(a))
+              ELSE element_at(a, cast(floor(q * cast(size(a) as float)
+                                            - cast(0.5 as float)) as int) + 1)
+                   + cast(q * cast(size(a) as float) - cast(0.5 as float)
+                          - floor(q * cast(size(a) as float)
+                                  - cast(0.5 as float)) as float)
+                   * (element_at(a, cast(floor(q * cast(size(a) as float)
+                                               - cast(0.5 as float)) as int) + 2)
+                      - element_at(a, cast(floor(q * cast(size(a) as float)
+                                                 - cast(0.5 as float)) as int) + 1))
+         END as double)""",
+    # -- Kahan-Babushka-Neumaier compensated sum (the reference's float
+    # SUM aggregation kernel; see vm/testdata/queries/0020-aggregate/
+    # sum-float-stress.test header) ----------------------------------
+    """CREATE OR REPLACE TEMPORARY FUNCTION kbn_sum(a ARRAY<DOUBLE>)
+       RETURNS DOUBLE
+       RETURN CASE WHEN size(a) = 0 THEN NULL ELSE
+         aggregate(a, named_struct('s', 0D, 'c', 0D),
+           (acc, v) -> named_struct(
+             's', acc.s + v,
+             'c', acc.c + CASE WHEN abs(acc.s) >= abs(v)
+                               THEN (acc.s - (acc.s + v)) + v
+                               ELSE (v - (acc.s + v)) + acc.s END),
+           acc -> acc.s + acc.c) END""",
 ]
 
 #: names this module registers, in registration order (dependencies
@@ -187,7 +226,7 @@ SQL_FUNCTION_NAMES = [
     "time_bucket", "date_bin",
     "geo_distance", "geo_tile_x", "geo_tile_y", "geo_tile_es",
     "split_bucket", "split_label", "sample_keep", "cm_bucket",
-    "array_sum",
+    "array_sum", "approx_percentile_td", "kbn_sum",
 ]
 
 
