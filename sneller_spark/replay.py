@@ -1200,7 +1200,15 @@ def _like_escape(sql: str) -> str:
 def _auto_alias(sql: str) -> str:
     """Sneller's implicit aliases for unaliased top-level call items,
     with matching ORDER BY / GROUP BY text substitution."""
-    m = re.search(r"\bSELECT\b(\s+DISTINCT\b)?", sql, flags=re.IGNORECASE)
+    # the MAIN statement's SELECT: first match at paren depth 0 that is
+    # not a CTE body (those sit inside parens)
+    m = None
+    for cand in re.finditer(r"\bSELECT\b(\s+DISTINCT\b)?", sql,
+                            flags=re.IGNORECASE):
+        head = sql[: cand.start()]
+        if head.count("(") == head.count(")"):
+            m = cand
+            break
     if not m:
         return sql
     start = m.end()
@@ -1645,6 +1653,94 @@ def ensure_replay_udfs(spark) -> None:
     _UDFS_REGISTERED.add(id(spark))
 
 
+_DATASHAPE_DEPTH = 5
+
+
+def _datashape_sql(spark, lines: list[str]) -> str:
+    """``SELECT SNELLER_DATASHAPE(*) FROM t`` replayed through Spark 4
+    VARIANT: recursive variant_explode to dotted paths (arrays add
+    ``$items``), per-VALUE ion typing (whole doubles are ints, as the
+    reference's JSON→ion ingestion normalises), per-path stat maps
+    (vm/sysdatashape.go:45-70 field vocabulary)."""
+    spark.createDataFrame(
+        [(l,) for l in (lines or ["{}"])], "line string"
+    ).createOrReplaceTempView("__ds_lines")
+    lvls = [
+        """SELECT CASE WHEN t.key IS NULL THEN '$items' ELSE t.key END AS path,
+                  t.value AS v
+           FROM __ds_raw, LATERAL variant_explode(__ds_raw.v) AS t"""
+    ]
+    for k in range(2, _DATASHAPE_DEPTH + 1):
+        lvls.append(
+            f"""SELECT p.path || CASE WHEN t.key IS NULL THEN '.$items'
+                                      ELSE '.' || t.key END AS path,
+                       t.value AS v
+                FROM __lvl{k - 1} p, LATERAL variant_explode(p.v) AS t"""
+        )
+    lvl_ctes = ",\n".join(
+        f"__lvl{i + 1} AS ({q})" for i, q in enumerate(lvls)
+    )
+    union = " UNION ALL ".join(
+        f"SELECT * FROM __lvl{i + 1}" for i in range(len(lvls))
+    )
+    return f"""
+    WITH __ds_raw AS (SELECT parse_json(line) AS v FROM __ds_lines),
+    {lvl_ctes},
+    __allv AS ({union}),
+    __typed AS (
+      SELECT path,
+        CASE WHEN sv LIKE 'OBJECT%' OR sv LIKE 'STRUCT%' THEN 'struct'
+             WHEN sv LIKE 'ARRAY%' THEN 'list'
+             WHEN sv = 'STRING' THEN 'string'
+             WHEN sv = 'BOOLEAN' THEN 'bool'
+             WHEN sv = 'VOID' THEN 'null'
+             WHEN try_variant_get(v, '$', 'double') IS NULL THEN 'other'
+             WHEN try_variant_get(v, '$', 'double') = floor(try_variant_get(v, '$', 'double')) THEN 'int'
+             ELSE 'float' END AS t,
+        try_variant_get(v, '$', 'double') AS num,
+        length(try_variant_get(v, '$', 'string')) AS slen
+      FROM (SELECT path, v, schema_of_variant(v) AS sv FROM __allv)
+    ),
+    __agg AS (
+      SELECT path,
+        sum(CASE WHEN t = 'null' THEN 1 END) AS n_null,
+        sum(CASE WHEN t = 'bool' THEN 1 END) AS n_bool,
+        sum(CASE WHEN t = 'int' THEN 1 END) AS n_int,
+        min(CASE WHEN t = 'int' THEN num END) AS int_min,
+        max(CASE WHEN t = 'int' THEN num END) AS int_max,
+        sum(CASE WHEN t = 'float' THEN 1 END) AS n_float,
+        min(CASE WHEN t = 'float' THEN num END) AS f_min,
+        max(CASE WHEN t = 'float' THEN num END) AS f_max,
+        sum(CASE WHEN t = 'string' THEN 1 END) AS n_str,
+        min(CASE WHEN t = 'string' THEN slen END) AS s_min,
+        max(CASE WHEN t = 'string' THEN slen END) AS s_max,
+        sum(CASE WHEN t = 'list' THEN 1 END) AS n_list,
+        sum(CASE WHEN t = 'struct' THEN 1 END) AS n_struct
+      FROM __typed GROUP BY path
+    ),
+    __maps AS (
+      SELECT path, map_from_entries(filter(array(
+        named_struct('k', 'null', 'v', cast(n_null as double)),
+        named_struct('k', 'bool', 'v', cast(n_bool as double)),
+        named_struct('k', 'int', 'v', cast(n_int as double)),
+        named_struct('k', 'int-min-value', 'v', int_min),
+        named_struct('k', 'int-max-value', 'v', int_max),
+        named_struct('k', 'float', 'v', cast(n_float as double)),
+        named_struct('k', 'float-min-value', 'v', f_min),
+        named_struct('k', 'float-max-value', 'v', f_max),
+        named_struct('k', 'string', 'v', cast(n_str as double)),
+        named_struct('k', 'string-min-length', 'v', cast(s_min as double)),
+        named_struct('k', 'string-max-length', 'v', cast(s_max as double)),
+        named_struct('k', 'list', 'v', cast(n_list as double)),
+        named_struct('k', 'struct', 'v', cast(n_struct as double))
+      ), e -> e.v IS NOT NULL)) AS m FROM __agg
+    )
+    SELECT (SELECT COUNT(*) FROM __ds_raw) AS total,
+           map_from_entries(collect_list(struct(path, m))) AS fields
+    FROM __maps
+    """
+
+
 def _err_text(exc) -> str:
     s = str(exc) or repr(exc)
     for line in s.strip().splitlines():
@@ -1672,6 +1768,27 @@ def run_case(spark, path: str, keep_rows: bool = False) -> dict:
     ensure_replay_udfs(spark)
     prev_ansi = spark.conf.get("spark.sql.ansi.enabled", None)
     spark.conf.set("spark.sql.ansi.enabled", "false")
+    dm = re.match(
+        r"\s*SELECT\s+SNELLER_DATASHAPE\s*\(\s*\*\s*\)\s+FROM\s+(\w+)\s*$",
+        query,
+        flags=re.IGNORECASE,
+    )
+    if dm:
+        tbl = dm.group(1).lower()
+        idx = 0 if tbl == "input" else int(tbl.removeprefix("input") or 0)
+        try:
+            sql = _datashape_sql(spark, inputs[idx])
+            got = [r.asDict(recursive=True) for r in spark.sql(sql).collect()]
+            diff = compare(got, expected, ordered=False)
+        except Exception as exc:  # noqa: BLE001
+            return {"case": rel, "status": "error", "detail": _err_text(exc)}
+        finally:
+            if prev_ansi is not None:
+                spark.conf.set("spark.sql.ansi.enabled", prev_ansi)
+        if diff is None:
+            return {"case": rel, "status": "pass", "sql": sql}
+        return {"case": rel, "status": "mismatch", "detail": diff[:400],
+                "sql": sql}
     try:
         # presence shadows only when the query COUNTs a plain column and
         # has no star projection the shadow column could leak into
