@@ -1570,8 +1570,15 @@ def _canon_value(v):
     if isinstance(v, list):
         return tuple(_canon_value(x) for x in v)
     if isinstance(v, dict):
+        # an ion-null struct member and an absent member are both
+        # invisible under the MISSING≡NULL output discipline (variant
+        # nulls arrive as VariantVal, so test the canonical value)
         return tuple(
-            sorted((k, _canon_value(x)) for k, x in v.items() if x is not None)
+            sorted(
+                (k, cx)
+                for k, cx in ((k, _canon_value(x)) for k, x in v.items())
+                if cx is not None
+            )
         )
     if hasattr(v, "asDict"):
         return _canon_value(v.asDict(recursive=True))
@@ -1741,6 +1748,101 @@ def _datashape_sql(spark, lines: list[str]) -> str:
     """
 
 
+def _run_variant_case(
+    spark, rel: str, query: str, inputs, expected, keep_rows: bool
+) -> dict:
+    """Replay a mixed-type case on VARIANT columns (see replay_variant)."""
+    from . import replay_variant as rv
+
+    rv.ensure_variant_udfs(spark)
+    prev_ansi = spark.conf.get("spark.sql.ansi.enabled", None)
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    extra: set = set()
+    sql = query
+    try:
+        with_seq = bool(
+            re.search(r"\bDISTINCT\b[\s\S]*\bLIMIT\b", query, re.IGNORECASE)
+        )
+        for attempt in range(4):
+            views = rv.register_variant_inputs(
+                spark, inputs, sorted(extra), with_seq
+            )
+            cols: set = set()
+            for df in views.values():
+                cols.update(df.columns)
+            sql = _table_refs(spark, query, views)
+            # EXISTS(SELECT * ...) must not be structified into a
+            # collect_list scalar wrapper (it is a predicate, and the
+            # wrapper deepens correlation past what Catalyst supports)
+            sql = re.sub(
+                r"(\bEXISTS\s*\(\s*SELECT\s+)\*",
+                r"\g<1>1",
+                sql,
+                flags=re.IGNORECASE,
+            )
+            sql = translate(sql)
+            sql = rv.variantize(sql, cols)
+            try:
+                got = [
+                    r.asDict(recursive=True) for r in spark.sql(sql).collect()
+                ]
+            except Exception as exc:  # noqa: BLE001
+                msg = str(exc)
+                # referenced-but-absent field: add it as an all-NULL
+                # variant column (schemaless MISSING discipline)
+                um = re.search(
+                    r"(?:UNRESOLVED_COLUMN|FIELD_NOT_FOUND)[^`]*`([\w.`]+)`",
+                    msg,
+                )
+                if um and attempt < 3:
+                    c = um.group(1).split("`")[-1].split(".")[-1]
+                    if c not in extra and all(
+                        c not in d.columns for d in views.values()
+                    ):
+                        extra.add(c)
+                        continue
+                # Spark refuses SQL UDF calls in some contexts
+                # (correlated subqueries, Sort): retry with the v_*
+                # bodies expanded textually
+                if "v_" in sql and (
+                    "UNSUPPORTED_SQL_UDF_USAGE" in msg
+                    or "UNSUPPORTED_SUBQUERY_EXPRESSION" in msg
+                    or "Correlated" in msg
+                ):
+                    try:
+                        sql2 = rv.inline_all(sql)
+                        got = [
+                            r.asDict(recursive=True)
+                            for r in spark.sql(sql2).collect()
+                        ]
+                        sql = sql2
+                        break
+                    except Exception as exc2:  # noqa: BLE001
+                        exc = exc2
+                return {
+                    "case": rel,
+                    "status": "error",
+                    "detail": _err_text(exc),
+                    "sql": sql,
+                }
+            break
+        diff = compare(got, expected, is_ordered(sql))
+    finally:
+        if prev_ansi is not None:
+            spark.conf.set("spark.sql.ansi.enabled", prev_ansi)
+    if diff is None:
+        return {"case": rel, "status": "pass", "sql": sql}
+    rec = {"case": rel, "status": "mismatch", "detail": diff[:400], "sql": sql}
+    if keep_rows:
+        ordered = is_ordered(sql)
+        got_c = [c for c in (canon_row(r) for r in got) if c != ()]
+        exp_c = [c for c in (canon_row(r) for r in expected) if c != ()]
+        if not ordered:
+            got_c, exp_c = sorted(got_c, key=repr), sorted(exp_c, key=repr)
+        rec["got_rows"], rec["exp_rows"] = got_c, exp_c
+    return rec
+
+
 def _err_text(exc) -> str:
     s = str(exc) or repr(exc)
     for line in s.strip().splitlines():
@@ -1763,7 +1865,9 @@ def run_case(spark, path: str, keep_rows: bool = False) -> dict:
             {c for lines in inputs for c in classify_columns(lines)[1]}
         )
     if mixed_all:
-        return {"case": rel, "status": "mixed-type", "detail": ",".join(mixed_all)}
+        # heterogeneously-typed columns: run on the VARIANT substrate
+        # (replay_variant.py) instead of typed spark.read.json columns
+        return _run_variant_case(spark, rel, query, inputs, expected, keep_rows)
 
     ensure_replay_udfs(spark)
     prev_ansi = spark.conf.get("spark.sql.ansi.enabled", None)
