@@ -211,8 +211,10 @@ def date_bin(ts: Column, seconds, origin: str = "1970-01-01 00:00:00") -> Column
 # ---------------------------------------------------------------------
 
 def geo_distance_m(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Column:
-    """GEO_DISTANCE: haversine metres, pure column math."""
-    r = 6371008.8
+    """GEO_DISTANCE: haversine metres, pure column math.  2R =
+    12742000 exactly — the reference's CONSTF64_12742000 constant
+    (vm/evalbc_amd64.s:4573 bcgeodistance), not the IUGG mean radius."""
+    r = 6371000.0
     p = math.pi / 180.0
     dlat = (lat2 - lat1) * p / 2
     dlon = (lon2 - lon1) * p / 2

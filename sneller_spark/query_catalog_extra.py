@@ -390,7 +390,7 @@ def window_rolling_frames(spark, sf_dir):
                    CAST(FLOOR((1.0 - LN(TAN(lat * PI() / 180.0)
                                         + 1.0 / COS(lat * PI() / 180.0)) / PI()) / 2.0 * 256)
                         AS BIGINT) AS tile_key,
-              ROUND(2 * 6371008.8 * ASIN(SQRT(
+              ROUND(2 * 6371000.0 * ASIN(SQRT(
                   SIN((0 - lat) * PI() / 180.0 / 2) * SIN((0 - lat) * PI() / 180.0 / 2)
                 + COS(lat * PI() / 180.0) * COS(0)
                   * SIN((0 - lon) * PI() / 180.0 / 2) * SIN((0 - lon) * PI() / 180.0 / 2)

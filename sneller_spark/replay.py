@@ -120,6 +120,38 @@ def _section_lines(block: str, strip_trailing: bool) -> list[str]:
     return out
 
 
+_FP_TOKENS = {
+    "float64:+inf": math.inf,
+    "float64:-inf": -math.inf,
+    "float64:NaN": math.nan,
+    "float64:-0": -0.0,
+}
+
+
+def _decode_fp_tokens(line: str) -> str:
+    """Input NDJSON spells non-finite doubles as ``"float64:+inf"``
+    tokens (testquery.go); decode to real doubles so the computation
+    sees IEEE values.  json.dumps emits the bare Infinity/NaN tokens
+    Spark's JSON reader accepts (allowNonNumericNumbers)."""
+    if "float64:" not in line:
+        return line
+    try:
+        row = json.loads(line)
+    except ValueError:
+        return line
+
+    def dec(v):
+        if isinstance(v, str):
+            return _FP_TOKENS.get(v, v)
+        if isinstance(v, list):
+            return [dec(x) for x in v]
+        if isinstance(v, dict):
+            return {k: dec(x) for k, x in v.items()}
+        return v
+
+    return json.dumps(dec(row))
+
+
 def parse_case(path: str) -> tuple[str, list[list[str]], list[dict]]:
     """Return (query, input sections, expected rows)."""
     text = open(path, errors="replace").read()
@@ -127,7 +159,10 @@ def parse_case(path: str) -> tuple[str, list[list[str]], list[dict]]:
     if len(parts) < 3:
         raise ValueError(f"{path}: expected >=3 sections, got {len(parts)}")
     query = "\n".join(_section_lines(parts[0], strip_trailing=True))
-    inputs = [_section_lines(p, strip_trailing=False) for p in parts[1:-1]]
+    inputs = [
+        [_decode_fp_tokens(l) for l in _section_lines(p, strip_trailing=False)]
+        for p in parts[1:-1]
+    ]
     exp_lines = _section_lines(parts[-1], strip_trailing=False)
     try:
         expected = [json.loads(l) for l in exp_lines]
@@ -350,16 +385,21 @@ def _rewrite_unpivot(sql: str) -> str:
             m2 = re.match(r"[A-Za-z_][\w.]*", sql[i:])
             rel = m2.group(0)
             i += m2.end()
-        as_m = re.match(r"\s+AS\s+(\w+)", sql[i:], flags=re.IGNORECASE)
-        val = None
-        if as_m:
-            val = as_m.group(1)
-            i += as_m.end()
-        at_m = re.match(r"\s+AT\s+(\w+)", sql[i:], flags=re.IGNORECASE)
-        key = None
-        if at_m:
-            key = at_m.group(1)
-            i += at_m.end()
+        # AS and AT may appear in either order (0016-unpivot
+        # unpivot-nested-auxbindings: "UNPIVOT (...) AT cols AS vals")
+        val = key = None
+        while True:
+            as_m = re.match(r"\s+AS\s+(\w+)", sql[i:], flags=re.IGNORECASE)
+            if as_m and val is None:
+                val = as_m.group(1)
+                i += as_m.end()
+                continue
+            at_m = re.match(r"\s+AT\s+(\w+)", sql[i:], flags=re.IGNORECASE)
+            if at_m and key is None:
+                key = at_m.group(1)
+                i += at_m.end()
+                continue
+            break
         proj = []
         if key:
             proj.append(f"__ve.key AS {key}")
@@ -368,10 +408,18 @@ def _rewrite_unpivot(sql: str) -> str:
         if not proj:
             proj = ["__ve.key AS key", "__ve.value AS value"]
         # star is not allowed inside TVF arguments, so the row JSON is
-        # computed one subquery down
+        # computed one subquery down.  A plain table unpivots the RAW
+        # ingested document (the __rawjson view): to_json(struct(*))
+        # would drop present-but-null fields, which UNPIVOT emits
+        # (0016-unpivot/unpivot-count-keys counts "another": null)
+        if re.fullmatch(r"input\d*", rel, flags=re.IGNORECASE):
+            src = f"(SELECT __js FROM {rel}__rawjson)"
+        else:
+            # CTE / subquery target: no raw twin exists
+            src = f"(SELECT to_json(struct(*)) AS __js FROM {rel})"
         repl = (
             f"(SELECT {', '.join(proj)} FROM "
-            f"(SELECT to_json(struct(*)) AS __js FROM {rel}) AS __upv, "
+            f"{src} AS __upv, "
             f"LATERAL variant_explode(parse_json(__upv.__js)) AS __ve)"
         )
         sql = sql[: m.start()] + repl + sql[i:]
@@ -509,6 +557,53 @@ def _rewrite_distinct_on(sql: str, _n: int = 0) -> str:
         f"SELECT * EXCEPT ({rn}) FROM ({inner}) WHERE {rn} = 1"
     ) + suffix
     return _rewrite_distinct_on(out, _n + 1)
+
+
+def _chain_scalar_subqueries(sql: str) -> str:
+    """A scalar subquery in the SELECT list may correlate on the ALIAS
+    of an EARLIER select item (0012-correlated/0050: the reference
+    binds projections left-to-right).  Spark resolves lateral column
+    aliases in plain expressions but not inside correlated subqueries,
+    so split the list: earlier items become an inner SELECT, the
+    alias-referencing subquery moves to an outer SELECT over it."""
+    m = None
+    for cand in re.finditer(r"\bSELECT\b", sql, flags=re.IGNORECASE):
+        head = sql[: cand.start()]
+        if head.count("(") == head.count(")"):
+            m = cand
+            break
+    if not m:
+        return sql
+    start = m.end()
+    fpos = _find_kw(sql, "FROM", start)
+    if fpos == -1:
+        return sql
+    items = [it.strip() for it in _top_level_split(sql[start:fpos])]
+    aliases: list[str | None] = []
+    for it in items:
+        am = re.search(r"\bAS\s+[`\"]?(\w+)[`\"]?\s*$", it, flags=re.IGNORECASE)
+        aliases.append(am.group(1) if am else None)
+    for k in range(1, len(items)):
+        if "(" not in items[k] or not re.search(
+            r"\(\s*SELECT\b", items[k], flags=re.IGNORECASE
+        ):
+            continue
+        prior = [a for a in aliases[:k] if a]
+        if not any(
+            re.search(rf"(?<![\w.`]){re.escape(a)}(?![\w`])", items[k])
+            for a in prior
+        ):
+            continue
+        inner = "SELECT " + ", ".join(items[:k]) + " " + sql[fpos:]
+        outer = (
+            "SELECT *, "
+            + ", ".join(items[k:])
+            + " FROM ("
+            + inner
+            + ") AS __lca"
+        )
+        return _chain_scalar_subqueries(outer)
+    return sql
 
 
 def _rewrite_having_window(sql: str) -> str:
@@ -1022,22 +1117,12 @@ def _rewrite_calls(sql: str) -> str:
         close_p, args = got
         if len(args) != 3:
             return None
-        data, needle, t = (a.strip() for a in args)
-        if not (needle.startswith("'") and needle.endswith("'")):
-            return None
-        try:
-            edits = int(t)
-        except ValueError:
-            return None
-        n = len(needle) - 2
-        ors = " OR ".join(
-            f"levenshtein(substring({data}, __i, {w}), {needle}) <= {edits}"
-            for w in range(max(n - edits, 0), n + edits + 1)
+        fn = (
+            "sn_contains_fuzzy_uni"
+            if "UNICODE" in m.group(0).upper()
+            else "sn_contains_fuzzy"
         )
-        return (
-            f"exists(sequence(1, greatest(length({data}), 1)), __i -> ({ors}))",
-            close_p,
-        )
+        return f"{fn}({', '.join(a.strip() for a in args)})", close_p
 
     def trim2(which):
         # Sneller TRIM(s, cutset); Spark's 2-arg trim is (trimStr, str)
@@ -1123,7 +1208,9 @@ def _word_rewrites(seg: str) -> str:
     # (expr/node.go:177: OpStdDevPop covers STDDEV() and STDDEV_POP())
     seg = re.sub(r"\bSTDDEV\s*\(", "stddev_pop(", seg, flags=re.IGNORECASE)
     seg = re.sub(r"\bVARIANCE\s*\(", "var_pop(", seg, flags=re.IGNORECASE)
-    seg = re.sub(r"\bEQUALS_FUZZY_UNICODE\s*\(", "equals_fuzzy(", seg,
+    seg = re.sub(r"\bEQUALS_FUZZY_UNICODE\s*\(", "sn_equals_fuzzy_uni(", seg,
+                 flags=re.IGNORECASE)
+    seg = re.sub(r"\bEQUALS_FUZZY\s*\(", "sn_equals_fuzzy(", seg,
                  flags=re.IGNORECASE)
     # Sneller gives & higher precedence than | (int-bitwise-const-prop);
     # Spark parses them left-associatively at one level
@@ -1133,6 +1220,24 @@ def _word_rewrites(seg: str) -> str:
     seg = re.sub(
         r"(?<=\|)(\s*)([\w.]+\s*&\s*[\w.]+)(?![\w(]|\s*&)", r"\1(\2)", seg
     )
+    # Sneller shifts are 64-bit (ion ints); Spark's <<//>>//>>> operate
+    # at the literal's width (INT for small literals) — force BIGINT
+    _shop = r"(-?\d+|[\w.`]+)"
+    seg = re.sub(
+        _shop + r"\s*>>>\s*" + _shop,
+        r"shiftrightunsigned(CAST(\1 AS BIGINT), \2)",
+        seg,
+    )
+    seg = re.sub(
+        _shop + r"\s*>>\s*" + _shop,
+        r"shiftright(CAST(\1 AS BIGINT), \2)",
+        seg,
+    )
+    seg = re.sub(
+        _shop + r"\s*<<\s*" + _shop,
+        r"shiftleft(CAST(\1 AS BIGINT), \2)",
+        seg,
+    )
     seg = re.sub(r"\bTO_UNIX_EPOCH\s*\(", "unix_seconds(", seg, flags=re.IGNORECASE)
     seg = re.sub(r"\bTO_UNIX_MICRO\s*\(", "unix_micros(", seg, flags=re.IGNORECASE)
     seg = re.sub(r"\bEXP2\s*\(", "power(2.0, ", seg, flags=re.IGNORECASE)
@@ -1140,6 +1245,15 @@ def _word_rewrites(seg: str) -> str:
     seg = re.sub(r"\bLN1P\s*\(", "log1p(", seg, flags=re.IGNORECASE)
     seg = re.sub(r"\bROUND_EVEN\s*\(", "rint(", seg, flags=re.IGNORECASE)
     seg = re.sub(r"\bCHAR_LENGTH\s*\(", "length(", seg, flags=re.IGNORECASE)
+    # reference LOWER/UPPER are per-rune SIMPLE case mappings (Go
+    # unicode.ToLower/ToUpper); Spark's lower/upper apply full mappings
+    seg = re.sub(r"\bLOWER\s*\(", "sn_lower(", seg, flags=re.IGNORECASE)
+    seg = re.sub(r"\bUPPER\s*\(", "sn_upper(", seg, flags=re.IGNORECASE)
+    # zoom-32 tiles need the reference's exact fp kernel (replay_geomath)
+    seg = re.sub(r"\bGEO_TILE_ES\s*\(", "sn_geo_tile_es(", seg,
+                 flags=re.IGNORECASE)
+    seg = re.sub(r"\bCOSINE_DISTANCE\s*\(", "sn_cosine_distance(", seg,
+                 flags=re.IGNORECASE)
     return seg
 
 
@@ -1160,9 +1274,66 @@ def _tilde_regex(sql: str) -> str:
     return "".join(out)
 
 
+_ILIKE_PAT = re.compile(
+    r"([\w.`]+|\((?:[^()]|\([^()]*\))*\))\s+(NOT\s+)?ILIKE\s+"
+    r"('(?:[^']|'')*'|[\w.`]+)",
+    re.IGNORECASE,
+)
+
+
+def _ilike_fold(sql: str) -> str:
+    """Spark's ILIKE lowercases both sides with the FULL case mapping;
+    the reference matches case-insensitively under per-rune simple
+    folding (ſ≡s, Ω(ohm)≡ω, K(kelvin)≡k — 0061 matchpat tests)."""
+    return _ILIKE_PAT.sub(
+        lambda m: (
+            f"sn_fold({m.group(1)}) {m.group(2) or ''}LIKE "
+            f"sn_fold({m.group(3)})"
+        ),
+        sql,
+    )
+
+
+def _similar_to_pattern(pat: str) -> str:
+    """The reference's SIMILAR TO compiler (regexp2/Regexp2.go:58-97):
+    ``.``/``^``/``$`` are NOT meta-characters (escaped unless already
+    escaped), ``%`` -> ``.*``, ``_`` -> ``.`` — then the whole pattern
+    is end-anchored ``(expr)$`` when it doesn't already end in ``$``."""
+    out = []
+    runes = list(pat)
+    for i, r in enumerate(runes):
+        escaped = i > 0 and runes[i - 1] == "\\"
+        if r in ".^$":
+            out.append(r if escaped else "\\" + r)
+        elif r == "%":
+            out.append(r if escaped else ".*")
+        elif r == "_":
+            out.append(r if escaped else ".")
+        else:
+            out.append(r)
+    expr = "".join(out)
+    if not pat.endswith("$"):
+        expr = "(" + expr + ")$"
+    return expr
+
+
+_SIMILAR_LIT = re.compile(
+    r"\bSIMILAR\s+TO\s+('(?:[^']|'')*')", re.IGNORECASE
+)
+
+
 def _similar_to(sql: str) -> str:
-    # the reference's SIMILAR TO takes a Go regex and, like `~`,
-    # partial-matches (0062-string-similar-to uses explicit ^ anchors)
+    def sub(m):
+        lit = m.group(1)[1:-1].replace("''", "'")
+        # Spark unescapes backslash sequences in the literal before the
+        # pattern reaches rlike — mirror that, transform, re-escape
+        raw = lit.encode().decode("unicode_escape")
+        pat = _similar_to_pattern(raw)
+        esc = pat.replace("\\", "\\\\").replace("'", "\\'")
+        return f"RLIKE '{esc}'"
+
+    sql = _SIMILAR_LIT.sub(sub, sql)
+    # non-literal pattern operand: keep the old partial-match fallback
     return re.sub(r"\bSIMILAR\s+TO\b", "RLIKE", sql, flags=re.IGNORECASE)
 
 
@@ -1320,6 +1491,51 @@ def _int_division(sql: str) -> str:
     return sql
 
 
+_DIV_ATOM = (
+    r"(?:-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?"
+    r"|[\w.`]+\((?:[^()]|\([^()]*\))*\)"
+    r"|[\w.`]+"
+    r"|\((?:[^()]|\([^()]*\)|\((?:[^()]|\([^()]*\))*\))*\))"
+)
+_DIV_PAT = re.compile(
+    "(" + _DIV_ATOM + r"(?:\s*\*\s*" + _DIV_ATOM + r")*)\s*/\s*(" + _DIV_ATOM + ")"
+)
+
+
+def _ieee_div_expr(a: str, b: str) -> str:
+    """IEEE-754 division: x/0 -> ±Inf, 0/0 and NaN/0 -> NaN (the
+    reference evaluates unboxed doubles natively; Spark's ``/`` yields
+    NULL on zero denominators).  Inlined as an expression, not a SQL
+    UDF, so it survives Sort/correlated-subquery contexts."""
+    return (
+        f"(CASE WHEN ({b}) IS NULL OR ({a}) IS NULL THEN NULL "
+        f"WHEN ({b}) = 0D THEN "
+        f"CASE WHEN isnan(CAST(({a}) AS DOUBLE)) OR ({a}) = 0D "
+        f"THEN CAST('NaN' AS DOUBLE) "
+        f"WHEN (({a}) > 0D) != startswith(CAST(CAST(({b}) AS DOUBLE) "
+        f"AS STRING), '-') THEN CAST('Infinity' AS DOUBLE) "
+        f"ELSE CAST('-Infinity' AS DOUBLE) END "
+        # \x01 placeholder keeps the fixpoint loop from re-rewriting
+        # the division this expansion itself emits
+        f"ELSE CAST(({a}) AS DOUBLE) \x01 ({b}) END)"
+    )
+
+
+def _ieee_division(sql: str) -> str:
+    """Rewrite remaining (non-integer-pair) ``/`` to IEEE semantics."""
+
+    def seg_fn(seg: str) -> str:
+        prev = None
+        while prev != seg:
+            prev = seg
+            seg = _DIV_PAT.sub(
+                lambda m: _ieee_div_expr(m.group(1), m.group(2)), seg
+            )
+        return seg.replace("\x01", "/")
+
+    return _rewrite_outside_strings(sql, seg_fn)
+
+
 _RESERVED_ALIASES = ("outer",)
 
 
@@ -1333,6 +1549,7 @@ def translate(
     query: str,
     double_cols: frozenset | set = frozenset(),
     presence_cols: frozenset | set = frozenset(),
+    ieee_division: bool = True,
 ) -> str:
     sql = query
     sql = _rewrite_outside_strings(sql, lambda s: s.replace('"', "`"))
@@ -1342,13 +1559,20 @@ def translate(
     sql = _rewrite_lateral_unnest(sql)
     sql = _rewrite_distinct_on(sql)
     sql = _rewrite_having_window(sql)
+    sql = _chain_scalar_subqueries(sql)
     sql = _structify_scalar_subqueries(sql)
     sql = _similar_to(sql)
+    sql = _ilike_fold(sql)
     sql = _like_escape(sql)
     sql = _tilde_regex(sql)
     sql = _rewrite_outside_strings(sql, _word_rewrites)
     sql = _rewrite_calls(sql)
     sql = _int_division(sql)
+    if ieee_division:
+        # skipped on the VARIANT path: variantize() would re-dispatch
+        # the inlined CASE's comparisons through v_eq/v_cmpi and break
+        # its syntax; variant operands go through v_num instead
+        sql = _ieee_division(sql)
     sql = _orderby_udf_wrap(sql)
     sql = _auto_alias(sql)
     sql = _rewrite_outside_strings(sql, _quote_reserved)
@@ -1395,9 +1619,24 @@ def classify_columns(input_lines: list[str]) -> tuple[dict[str, set], list[str]]
             if v is None:
                 continue
             seen.setdefault(k, set()).add(type(v).__name__)
-    mixed = [
-        k for k, t in seen.items() if len(t) > 1 and not t <= {"int", "float"}
-    ]
+            if isinstance(v, list):
+                # heterogeneous ELEMENT types also need the variant
+                # substrate (0015-unnest: MAX over a lateral alias must
+                # see dynamic types, and spark.read.json would coerce
+                # mixed elements to strings)
+                for e in v:
+                    if e is not None:
+                        seen.setdefault(k, set()).add(
+                            "elem:" + type(e).__name__
+                        )
+    def _is_mixed(t: set) -> bool:
+        top = {n for n in t if not n.startswith("elem:")}
+        elem = {n for n in t if n.startswith("elem:")}
+        if len(top) > 1 and not top <= {"int", "float"}:
+            return True
+        return len(elem) > 1 and not elem <= {"elem:int", "elem:float"}
+
+    mixed = [k for k, t in seen.items() if _is_mixed(t)]
     return seen, sorted(mixed)
 
 
@@ -1464,17 +1703,23 @@ def _register_inputs(
 ) -> tuple[dict[str, "object"], set]:
     views: dict[str, object] = {}
     shadows: set = set()
-    if len(inputs) == 1:
-        df, sh = load_input(spark, inputs[0], presence_for)
+
+    def reg(name: str, lines: list[str]) -> None:
+        nonlocal shadows
+        df, sh = load_input(spark, lines, presence_for)
         shadows |= sh
-        df.createOrReplaceTempView("input")
-        views["input"] = df
+        df.createOrReplaceTempView(name)
+        views[name] = df
+        # raw-document twin for UNPIVOT (keeps present-but-null fields)
+        spark.createDataFrame(
+            [(l,) for l in (lines or ["{}"])], "__js string"
+        ).createOrReplaceTempView(f"{name}__rawjson")
+
+    if len(inputs) == 1:
+        reg("input", inputs[0])
     else:
         for i, lines in enumerate(inputs):
-            df, sh = load_input(spark, lines, presence_for)
-            shadows |= sh
-            df.createOrReplaceTempView(f"input{i}")
-            views[f"input{i}"] = df
+            reg(f"input{i}", lines)
     return views, shadows
 
 
@@ -1544,8 +1789,13 @@ def _canon_value(v):
         # significant digits (beyond that is libm last-ulp noise or
         # double round-off on values ion kept as exact ints), then
         # whole values under 2^53 normalise to int
-        if isinstance(v, float) and math.isnan(v):
-            return None
+        if isinstance(v, float):
+            # non-finite doubles canonicalise to the reference's
+            # expected-NDJSON spelling (testquery.go fp tokens)
+            if math.isnan(v):
+                return "float64:NaN"
+            if math.isinf(v):
+                return "float64:+inf" if v > 0 else "float64:-inf"
         f = float(f"{float(v):.12g}")
         if f == int(f) and abs(f) < 2**53:
             return int(f)
@@ -1657,6 +1907,41 @@ def ensure_replay_udfs(spark) -> None:
         "return": pd.Series,
     }
     spark.udf.register("geo_hash", F.pandas_udf("string")(_geo_hash))
+
+    from sneller_spark.replay_casemap import (
+        simple_fold,
+        simple_lower,
+        simple_upper,
+    )
+
+    spark.udf.register("sn_lower", simple_lower, "string")
+    spark.udf.register("sn_upper", simple_upper, "string")
+    spark.udf.register("sn_fold", simple_fold, "string")
+
+    from sneller_spark.replay_geomath import cosine_distance_ref
+    from sneller_spark.replay_geomath import geo_tile_es as _gte
+
+    spark.udf.register("sn_geo_tile_es", _gte, "string")
+    spark.udf.register("sn_cosine_distance", cosine_distance_ref, "double")
+
+    from sneller_spark.replay_fuzzy import contains_fuzzy_ref, equals_fuzzy_ref
+
+    spark.udf.register(
+        "sn_equals_fuzzy",
+        lambda s, n, t: equals_fuzzy_ref(s, n, t, True), "boolean",
+    )
+    spark.udf.register(
+        "sn_equals_fuzzy_uni",
+        lambda s, n, t: equals_fuzzy_ref(s, n, t, False), "boolean",
+    )
+    spark.udf.register(
+        "sn_contains_fuzzy",
+        lambda s, n, t: contains_fuzzy_ref(s, n, t, True), "boolean",
+    )
+    spark.udf.register(
+        "sn_contains_fuzzy_uni",
+        lambda s, n, t: contains_fuzzy_ref(s, n, t, False), "boolean",
+    )
     _UDFS_REGISTERED.add(id(spark))
 
 
@@ -1755,6 +2040,7 @@ def _run_variant_case(
     from . import replay_variant as rv
 
     rv.ensure_variant_udfs(spark)
+    ensure_replay_udfs(spark)
     prev_ansi = spark.conf.get("spark.sql.ansi.enabled", None)
     spark.conf.set("spark.sql.ansi.enabled", "false")
     extra: set = set()
@@ -1780,7 +2066,37 @@ def _run_variant_case(
                 sql,
                 flags=re.IGNORECASE,
             )
-            sql = translate(sql)
+            sql = translate(sql, ieee_division=False)
+            # "SELECT *" where an unnest alias clobbers a base column
+            # (0015-unnest/unnest-star): the reference's * exposes the
+            # BINDING, not the shadowed column — expand explicitly
+            lvm = re.search(
+                r"LATERAL\s+VIEW\s+\w+\s*\((?:[^()]|\([^()]*\))*\)\s*"
+                r"(\w+)\s+AS\s+`?(\w+)`?",
+                sql, re.IGNORECASE,
+            )
+            if lvm and lvm.group(2) in cols:
+                sm = re.search(r"\bSELECT\s+\*(?!\w)", sql, re.IGNORECASE)
+                if sm:
+                    fm = re.search(
+                        r"\bFROM\s+`?\w+`?\s+AS\s+(`?\w+`?)",
+                        sql, re.IGNORECASE,
+                    )
+                    qual = fm.group(1) + "." if fm else ""
+                    items = [
+                        f"{qual}`{c}`"
+                        for c in sorted(cols)
+                        if c != lvm.group(2)
+                    ]
+                    items.append(
+                        f"{lvm.group(1)}.`{lvm.group(2)}` AS `{lvm.group(2)}`"
+                    )
+                    sql = (
+                        sql[: sm.start()]
+                        + "SELECT "
+                        + ", ".join(items)
+                        + sql[sm.end():]
+                    )
             sql = rv.variantize(sql, cols)
             try:
                 got = [
@@ -1864,9 +2180,12 @@ def run_case(spark, path: str, keep_rows: bool = False) -> dict:
         mixed_all = sorted(
             {c for lines in inputs for c in classify_columns(lines)[1]}
         )
-    if mixed_all:
+    if mixed_all and not re.search(
+        r"\bSNELLER_DATASHAPE\b", query, flags=re.IGNORECASE
+    ):
         # heterogeneously-typed columns: run on the VARIANT substrate
         # (replay_variant.py) instead of typed spark.read.json columns
+        # (SNELLER_DATASHAPE has its own raw-document path below)
         return _run_variant_case(spark, rel, query, inputs, expected, keep_rows)
 
     ensure_replay_udfs(spark)

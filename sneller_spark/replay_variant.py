@@ -304,6 +304,10 @@ def register_variant_inputs(spark, inputs, extra_cols=(),
         df = load_variant_input(spark, lines, extra_cols, with_seq)
         df.createOrReplaceTempView(name)
         views[name] = df
+        # raw-document twin for UNPIVOT (see replay._rewrite_unpivot)
+        spark.createDataFrame(
+            [(l,) for l in (lines or ["{}"])], "__js string"
+        ).createOrReplaceTempView(f"{name}__rawjson")
     return views
 
 
@@ -385,9 +389,42 @@ def variantize(sql: str, cols: set[str]) -> str:
         m.group(2).strip("`").lower()
         for m in re.finditer(r"\bAS\s+(`?)([A-Za-z_]\w*)\1", sql, re.IGNORECASE)
     } - _type_kw
-    live = {c for c in cols if c.lower() not in aliased}
+    # LATERAL VIEW explode aliases BIND variant array elements — they
+    # are variant terms, not shadowing projections (0015-unnest)
+    lv_aliases = {
+        m.group(1)
+        for m in re.finditer(
+            r"LATERAL\s+VIEW\s+\w+\s*\((?:[^()]|\([^()]*\))*\)\s*\w+\s+AS\s+"
+            r"`?(\w+)`?",
+            sql, re.IGNORECASE,
+        )
+    }
+    aliased -= {a.lower() for a in lv_aliases}
+    live = {c for c in cols if c.lower() not in aliased} | lv_aliases
     rw.cols = live
     sql = rw.mark_columns(sql)
+    # table-qualified refs (alias.col) escape mark_columns' unqualified
+    # pattern; mark them too so GROUP BY/aggregates dispatch on variant
+    qual_names = "|".join(
+        re.escape(c) for c in sorted(cols, key=len, reverse=True)
+    )
+    if qual_names:
+        sql = re.sub(
+            rf"(?<![\w`.\x01])(`\w+`|\w+)\s*\.\s*(`(?:{qual_names})`"
+            rf"|(?:{qual_names})\b)(?!\s*\()(?![\w`])",
+            lambda m: rw.ph(
+                f"{m.group(1) if m.group(1).startswith('`') else '`' + m.group(1) + '`'}"
+                f".{m.group(2) if m.group(2).startswith('`') else '`' + m.group(2) + '`'}"
+            ),
+            sql,
+        )
+    # explode over a variant needs an array<variant> operand
+    sql = re.sub(
+        r"\b(explode|explode_outer|posexplode|posexplode_outer)\s*\(\s*"
+        r"([\w\x01.`]+)\s*\)",
+        lambda m: f"{m.group(1)}(v_arr({m.group(2)}))",
+        sql, flags=re.IGNORECASE,
+    )
 
     P, LIT = _P, _LIT
 
@@ -818,6 +855,9 @@ def _rewrite_group_order(sql: str, rw: _Rewriter) -> str:
     if gkeys:
         keys = re.findall(r"v_key\([^()]*\)", gkeys[0])
         guard = " AND ".join(f"{k} IS NOT NULL" for k in keys)
+        if f"({guard}) AND" in sql or f"WHERE {guard}" in sql:
+            gkeys = []
+    if gkeys:
         wm = re.search(r"\bWHERE\b\s", sql, re.IGNORECASE)
         if wm:
             sql = sql[: wm.end()] + f"({guard}) AND " + sql[wm.end():]
@@ -839,8 +879,12 @@ def _rewrite_group_order(sql: str, rw: _Rewriter) -> str:
                                  re.IGNORECASE)
                 if m:
                     term = rw.term(m.group(1))
+                    # a qualified ref aliases as its LAST component
+                    base = term.rsplit(".", 1)[-1] if re.fullmatch(
+                        r"(?:`\w+`|\w+)(?:\.(?:`[\w ]+`|\w+))+", term
+                    ) else term
                     name = m.group(2) or (
-                        term if term.startswith("`") else f"`{term}`"
+                        base if base.startswith("`") else f"`{base}`"
                     )
                     new_items.append(f"any_value({term}) AS {name}")
                     changed = True

@@ -127,7 +127,7 @@ _DEFINITIONS: list[str] = [
     # -- geo (expr/builtin.go:1183-1188) ------------------------------
     """CREATE OR REPLACE TEMPORARY FUNCTION geo_distance(lat1 DOUBLE, lon1 DOUBLE, lat2 DOUBLE, lon2 DOUBLE)
        RETURNS DOUBLE
-       RETURN 2 * 6371008.8d * asin(sqrt(
+       RETURN 2 * 6371000.0d * asin(sqrt(
                 pow(sin(radians(lat2 - lat1) / 2), 2)
                 + cos(radians(lat1)) * cos(radians(lat2))
                   * pow(sin(radians(lon2 - lon1) / 2), 2)))""",

@@ -33,7 +33,7 @@ def _manifest_cases() -> list[str]:
 )
 def test_reference_replay_manifest(spark):
     cases = _manifest_cases()
-    assert len(cases) >= 388, "manifest shrank — regenerate only to grow it"
+    assert len(cases) >= 408, "manifest shrank — regenerate only to grow it"
     failures = []
     for rel in cases:
         path = os.path.join(replay.REFERENCE_QUERIES, rel)
