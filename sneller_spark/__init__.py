@@ -24,6 +24,10 @@ Layout:
                           SQL veneer: the scalar surface as Catalyst-
                           inlined SQL UDFs (CREATE TEMPORARY FUNCTION),
                           mirroring the reference's SQL-first posture
+  sneller_spark.partiql   Sneller-dialect (PartiQL) query surface:
+                          translate()/sql() — the same translator that
+                          replays the reference's own 408-case corpus
+                          verbatim (sneller_spark.replay)
 """
 
 __version__ = "0.1.0"

@@ -54,9 +54,12 @@ Pipeline per case:
    normalise to RFC3339; VARIANT values unbox via ``toPython``.
 
 Cases whose *input* is dynamically typed (one column holding both
-numbers and strings) exercise per-value typing that a typed columnar
-engine deliberately does not reproduce; they are classified
-``mixed-type`` and reported, not silently skipped.
+numbers and strings) run on the VARIANT substrate instead
+(``replay_variant.py``): Spark 4 VARIANT columns with ``v_*`` SQL UDFs
+implementing the reference's cross-type comparison/arithmetic lattice.
+
+Status: **all 408 reference cases pass verbatim**
+(``tests/replay_manifest.txt``, ratchet-tested).
 """
 
 from __future__ import annotations
