@@ -48,6 +48,10 @@ from sneller_spark.session import ship_package  # noqa: E402
 # artifact at least once (union 130/130).  Rotated-out names were all
 # driver-green in >=1 earlier round and stay oracle-green in the full
 # tools/check_correctness.py run.
+#
+# Added late in round 6 (after the window was frozen):
+# `partiql_surface_pricing` — oracle-backed, pre-flighted green; the
+# natural first-time rotation candidate for round 7.
 # ---------------------------------------------------------------------
 _PRIORITY = [
     # --- anchors (driver-green in >=2 earlier rounds; kept so every

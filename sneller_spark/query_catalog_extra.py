@@ -691,3 +691,38 @@ def sql_veneer_split_label_counts(spark, sf_dir):
         FROM documents GROUP BY 1
         """
     )
+
+
+@register(
+    "partiql_surface_pricing",
+    """SELECT l_returnflag AS flag, l_linestatus AS status,
+              COUNT(*) AS n,
+              ROUND(SUM(l_quantity), 4) AS sum_qty,
+              MIN(l_shipdate) AS first_ship
+       FROM lineitem
+       WHERE l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+       GROUP BY 1, 2 ORDER BY 1, 2""",
+)
+def partiql_surface_pricing(spark, sf_dir):
+    """The public Sneller-dialect surface (sneller_spark.partiql;
+    reference grammar expr/partiql/partiql.y), value-checked end-to-end:
+    reference-spelled text — double-quoted identifiers, an ion
+    backtick timestamp literal — translated and executed by
+    partiql.sql(), compared against DuckDB running the ANSI spelling.
+    ansi="keep": the entry leaves session conf untouched (the query has
+    no error-producing expressions, so both modes agree)."""
+    from . import partiql
+
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return partiql.sql(
+        spark,
+        """SELECT "l_returnflag" AS flag, "l_linestatus" AS status,
+                  COUNT(*) AS n,
+                  ROUND(SUM(l_quantity), 4) AS sum_qty,
+                  MIN(l_shipdate) AS first_ship
+           FROM lineitem
+           WHERE l_shipdate < `1996-01-01T00:00:00Z`
+           GROUP BY "l_returnflag", "l_linestatus"
+           ORDER BY flag, status""",
+        ansi="keep",
+    )

@@ -75,6 +75,12 @@ import re
 
 REFERENCE_QUERIES = "/root/reference/vm/testdata/queries"
 
+# Input-partition fan-out for the typed loader.  The partition-
+# invariance matrix (tests/test_reference_replay.py) raises this to 8
+# to prove the translated plans don't depend on single-partition
+# evaluation (global aggregation, ordering, first-seen semantics).
+INPUT_PARTITIONS = 2
+
 _TS_RE = re.compile(
     r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(\.\d+)?(Z|[+-]\d{2}:?\d{2})?$"
 )
@@ -1692,7 +1698,9 @@ def load_input(spark, input_lines: list[str], presence_for: set | None = None):
                     out_lines.append(line)
             input_lines = out_lines
             shadows = nullable
-    rdd = spark.sparkContext.parallelize(input_lines or ["{}"], 2)
+    rdd = spark.sparkContext.parallelize(
+        input_lines or ["{}"], INPUT_PARTITIONS
+    )
     df = spark.read.json(rdd)
     types, _ = classify_columns(input_lines)
     for col, tnames in types.items():
