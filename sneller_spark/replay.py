@@ -472,7 +472,8 @@ def _rewrite_lateral_unnest(sql: str) -> str:
             return s
         first = items[0].strip()
         fm = re.match(
-            r"^([A-Za-z_][\w.]*|\((?s:.*)\))\s*(?:AS\s+)?[`\"]?([\w$]+)?[`\"]?\s*$",
+            r"^(`[\w.]+`|[A-Za-z_][\w.]*|\((?s:.*)\))\s*(?:AS\s+)?"
+            r"[`\"]?([\w$]+)?[`\"]?\s*$",
             first,
             flags=re.IGNORECASE,
         )
@@ -558,12 +559,51 @@ def _rewrite_distinct_on(sql: str, _n: int = 0) -> str:
         return sql
     items = body[:fpos].rstrip()
     tail = body[fpos:]
+    # a top-level ORDER BY names the pick order: the reference sorts,
+    # then DISTINCT ON keeps the first row per key group — so the sort
+    # list becomes the window's ORDER BY, materialized as __ord columns
+    # so the outer query can reproduce the output order after the
+    # window filter (ORDER BY aggregates can't cross the projection).
+    obpos = _find_kw(tail, "ORDER")
+    win_order, extra_items, outer_order, post = first_key, "", "", ""
+    if obpos != -1 and re.match(
+        r"ORDER\s+BY\b", tail[obpos:], flags=re.IGNORECASE
+    ):
+        after = tail[obpos:]
+        bypos = after.upper().index("BY") + 2
+        lim = _find_kw(after, "LIMIT")
+        off = _find_kw(after, "OFFSET")
+        cut = min(x for x in (lim, off, len(after)) if x != -1)
+        ord_items = [
+            o.strip() for o in _top_level_split(after[bypos:cut]) if o.strip()
+        ]
+        post = " " + after[cut:] if cut < len(after) else ""
+        tail = tail[:obpos].rstrip()
+        win_order = ", ".join(ord_items)
+        exprs_dirs = []
+        for k, o in enumerate(ord_items):
+            dm = re.search(
+                r"\s+(ASC|DESC)(\s+NULLS\s+(FIRST|LAST))?\s*$",
+                o, flags=re.IGNORECASE,
+            )
+            expr = o[: dm.start()] if dm else o
+            exprs_dirs.append((expr, o[dm.start():] if dm else ""))
+        extra_items = "".join(
+            f", {e} AS __ord{_n}_{k}" for k, (e, _d) in enumerate(exprs_dirs)
+        )
+        outer_order = " ORDER BY " + ", ".join(
+            f"__ord{_n}_{k}{d}" for k, (_e, d) in enumerate(exprs_dirs)
+        )
     inner = (
-        f"SELECT {items}, ROW_NUMBER() OVER (PARTITION BY {keys} "
-        f"ORDER BY {first_key}) AS {rn} {tail}"
+        f"SELECT {items}{extra_items}, ROW_NUMBER() OVER (PARTITION BY {keys} "
+        f"ORDER BY {win_order}) AS {rn} {tail}"
+    )
+    drop = rn + "".join(
+        f", __ord{_n}_{k}" for k in range(extra_items.count("__ord"))
     )
     out = sql[: m.start()] + (
-        f"SELECT * EXCEPT ({rn}) FROM ({inner}) WHERE {rn} = 1"
+        f"SELECT * EXCEPT ({drop}) FROM ({inner}) WHERE {rn} = 1"
+        f"{outer_order}{post}"
     ) + suffix
     return _rewrite_distinct_on(out, _n + 1)
 
@@ -613,6 +653,151 @@ def _chain_scalar_subqueries(sql: str) -> str:
         )
         return _chain_scalar_subqueries(outer)
     return sql
+
+
+def _groupby_alias(sql: str) -> str:
+    """``GROUP BY <expr> AS <name>`` (the reference binds the name for
+    the projection, plan/pir rownumber/3065 shape): drop the binding
+    from the GROUP BY list and materialize it in the select list by
+    replacing bare ``name`` references with ``expr AS name``."""
+    gpos = 0
+    while True:
+        gpos = _find_kw(sql, "GROUP", gpos)
+        if gpos == -1:
+            return sql
+        gm = re.match(r"GROUP\s+BY\b", sql[gpos:], flags=re.IGNORECASE)
+        if not gm:
+            gpos += 5
+            continue
+        start = gpos + gm.end()
+        end = len(sql)
+        for kw in ("HAVING", "ORDER", "LIMIT", "WINDOW", "UNION"):
+            p = _find_kw(sql, kw, start)
+            if p != -1:
+                end = min(end, p)
+        items = _top_level_split(sql[start:end])
+        changed = False
+        new_items = []
+        for it in items:
+            am = re.search(
+                r"\s+AS\s+[`\"]?(\w+)[`\"]?\s*$", it, flags=re.IGNORECASE
+            )
+            if not am:
+                new_items.append(it)
+                continue
+            name, expr = am.group(1), it[: am.start()].strip()
+            sel_m = re.search(r"\bSELECT\b", sql[:gpos], flags=re.IGNORECASE)
+            fpos = _find_kw(sql, "FROM", sel_m.end()) if sel_m else -1
+            if fpos == -1:
+                new_items.append(it)
+                continue
+            sel = sql[sel_m.end():fpos]
+            new_sel = re.sub(
+                rf"(?<![\w.`]){re.escape(name)}(?![\w`(])",
+                f"{expr} AS {name}",
+                sel,
+                count=1,
+            )
+            if new_sel == sel:
+                new_items.append(it)
+                continue
+            sql = sql[: sel_m.end()] + new_sel + sql[fpos:]
+            shift = len(new_sel) - len(sel)
+            start += shift
+            end += shift
+            new_items.append(expr)
+            changed = True
+        if changed:
+            sql = sql[:start] + " " + ", ".join(
+                i.strip() for i in new_items
+            ) + " " + sql[end:]
+        gpos = start
+    return sql
+
+
+def _having_window_alias(sql: str) -> str:
+    """``HAVING <alias> <cmp> ...`` where the alias names a WINDOW
+    select item (pir rownumber4/6): inline the window expression so the
+    HAVING-window rewrite below can lift it into a subquery filter."""
+    hpos = _find_kw(sql, "HAVING")
+    if hpos == -1:
+        return sql
+    sel_m = re.search(r"\bSELECT\b", sql, flags=re.IGNORECASE)
+    fpos = _find_kw(sql, "FROM", sel_m.end()) if sel_m else -1
+    if fpos == -1:
+        return sql
+    for it in _top_level_split(sql[sel_m.end():fpos]):
+        am = re.search(r"\s+AS\s+[`\"]?(\w+)[`\"]?\s*$", it,
+                       flags=re.IGNORECASE)
+        if not am or not re.search(r"\bOVER\b", it, flags=re.IGNORECASE):
+            continue
+        name, expr = am.group(1), it[: am.start()].strip()
+        hend = len(sql)
+        for kw in ("ORDER", "LIMIT", "WINDOW", "UNION"):
+            p = _find_kw(sql, kw, hpos)
+            if p != -1:
+                hend = min(hend, p)
+        clause = sql[hpos:hend]
+        new_clause = re.sub(
+            rf"(?<![\w.`]){re.escape(name)}(?![\w`(])", expr, clause
+        )
+        if new_clause != clause:
+            sql = sql[:hpos] + new_clause + sql[hend:]
+    return sql
+
+
+_AGG_FN_RE = re.compile(
+    r"\b(SUM|COUNT|MIN|MAX|AVG|STDDEV(?:_POP|_SAMP)?|VAR(?:IANCE|_POP|_SAMP)?)"
+    r"\s*\(",
+    re.IGNORECASE,
+)
+
+
+def _orderby_agg_alias_fold(sql: str) -> str:
+    """``ORDER BY SUM(x)`` where the select list carries ``SUM(x) AS a``
+    AND a window function is present (pir rownumber3): Spark can't add
+    a hidden aggregate projection under a window, but sorting by the
+    existing alias is the identical plan — fold the expression to it."""
+    if not re.search(r"\bOVER\b", sql, flags=re.IGNORECASE):
+        return sql
+    opos = _find_kw(sql, "ORDER")
+    if opos == -1 or not re.match(
+        r"ORDER\s+BY\b", sql[opos:], flags=re.IGNORECASE
+    ):
+        return sql
+    sel_m = re.search(r"\bSELECT\b", sql, flags=re.IGNORECASE)
+    fpos = _find_kw(sql, "FROM", sel_m.end()) if sel_m else -1
+    if fpos == -1:
+        return sql
+    aliased = {}
+    for it in _top_level_split(sql[sel_m.end():fpos]):
+        am = re.search(r"\s+AS\s+[`\"]?(\w+)[`\"]?\s*$", it,
+                       flags=re.IGNORECASE)
+        if am:
+            aliased[re.sub(r"\s+", "", it[: am.start()]).upper()] = am.group(1)
+    start = opos + re.match(
+        r"ORDER\s+BY\b", sql[opos:], flags=re.IGNORECASE
+    ).end()
+    end = len(sql)
+    for kw in ("LIMIT", "OFFSET"):
+        p = _find_kw(sql, kw, start)
+        if p != -1:
+            end = min(end, p)
+    out_items = []
+    changed = False
+    for o in _top_level_split(sql[start:end]):
+        dm = re.search(r"\s+(ASC|DESC)(\s+NULLS\s+(FIRST|LAST))?\s*$", o,
+                       flags=re.IGNORECASE)
+        expr = (o[: dm.start()] if dm else o).strip()
+        key = re.sub(r"\s+", "", expr).upper()
+        if _AGG_FN_RE.search(expr) and key in aliased:
+            out_items.append(aliased[key] + (o[dm.start():] if dm else ""))
+            changed = True
+        else:
+            out_items.append(o.strip())
+    if not changed:
+        return sql
+    return sql[:start] + " " + ", ".join(out_items) + " " + sql[end:]
 
 
 def _rewrite_having_window(sql: str) -> str:
@@ -1567,7 +1752,10 @@ def translate(
     sql = _rewrite_unpivot(sql)
     sql = _rewrite_lateral_unnest(sql)
     sql = _rewrite_distinct_on(sql)
+    sql = _groupby_alias(sql)
+    sql = _having_window_alias(sql)
     sql = _rewrite_having_window(sql)
+    sql = _orderby_agg_alias_fold(sql)
     sql = _chain_scalar_subqueries(sql)
     sql = _structify_scalar_subqueries(sql)
     sql = _similar_to(sql)
@@ -1575,6 +1763,16 @@ def translate(
     sql = _like_escape(sql)
     sql = _tilde_regex(sql)
     sql = _rewrite_outside_strings(sql, _word_rewrites)
+    if ieee_division:
+        # typed-column path only (ieee_division=False marks the variant
+        # route, whose rewriter dispatches ARRAY_SIZE itself — lists
+        # only, v_asize — distinct from SIZE on lists+structs)
+        sql = _rewrite_outside_strings(
+            sql,
+            lambda s: re.sub(
+                r"\bARRAY_SIZE\s*\(", "size(", s, flags=re.IGNORECASE
+            ),
+        )
     sql = _rewrite_calls(sql)
     sql = _int_division(sql)
     if ieee_division:
