@@ -26,8 +26,6 @@ from .sql_registry import register_sql_functions
 
 __all__ = ["translate", "sql"]
 
-_VENEER_REGISTERED: set[int] = set()
-
 
 def translate(query: str) -> str:
     """Sneller/PartiQL dialect text -> equivalent Spark SQL text.
@@ -52,9 +50,10 @@ def sql(spark, query: str, ansi: str = "false"):
     the reference's MISSING-on-error discipline; "keep" leaves the
     session conf untouched.
     """
-    if id(spark) not in _VENEER_REGISTERED:
+    # catalog probe, not an id(spark)-keyed cache: ids recycle after a
+    # stopped session is collected, which would skip registration
+    if not spark.catalog.functionExists("time_bucket"):
         register_sql_functions(spark)  # ~20 DDLs; once per session
-        _VENEER_REGISTERED.add(id(spark))
     replay.ensure_replay_udfs(spark)
     if ansi != "keep":
         spark.conf.set("spark.sql.ansi.enabled", ansi)

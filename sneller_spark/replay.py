@@ -566,6 +566,7 @@ def _rewrite_distinct_on(sql: str, _n: int = 0) -> str:
     # window filter (ORDER BY aggregates can't cross the projection).
     obpos = _find_kw(tail, "ORDER")
     win_order, extra_items, outer_order, post = first_key, "", "", ""
+    n_ord = 0
     if obpos != -1 and re.match(
         r"ORDER\s+BY\b", tail[obpos:], flags=re.IGNORECASE
     ):
@@ -591,6 +592,7 @@ def _rewrite_distinct_on(sql: str, _n: int = 0) -> str:
         extra_items = "".join(
             f", {e} AS __ord{_n}_{k}" for k, (e, _d) in enumerate(exprs_dirs)
         )
+        n_ord = len(exprs_dirs)
         outer_order = " ORDER BY " + ", ".join(
             f"__ord{_n}_{k}{d}" for k, (_e, d) in enumerate(exprs_dirs)
         )
@@ -598,9 +600,7 @@ def _rewrite_distinct_on(sql: str, _n: int = 0) -> str:
         f"SELECT {items}{extra_items}, ROW_NUMBER() OVER (PARTITION BY {keys} "
         f"ORDER BY {win_order}) AS {rn} {tail}"
     )
-    drop = rn + "".join(
-        f", __ord{_n}_{k}" for k in range(extra_items.count("__ord"))
-    )
+    drop = rn + "".join(f", __ord{_n}_{k}" for k in range(n_ord))
     out = sql[: m.start()] + (
         f"SELECT * EXCEPT ({drop}) FROM ({inner}) WHERE {rn} = 1"
         f"{outer_order}{post}"
@@ -659,7 +659,11 @@ def _groupby_alias(sql: str) -> str:
     """``GROUP BY <expr> AS <name>`` (the reference binds the name for
     the projection, plan/pir rownumber/3065 shape): drop the binding
     from the GROUP BY list and materialize it in the select list by
-    replacing bare ``name`` references with ``expr AS name``."""
+    replacing the select item that IS the bare ``name`` with
+    ``expr AS name``.  Only whole select-list items are replaced (a
+    ``name`` nested inside a call must not grow an AS clause), and the
+    select list is the nearest depth-0 SELECT before this GROUP BY
+    (UNION branches rewrite independently)."""
     gpos = 0
     while True:
         gpos = _find_kw(sql, "GROUP", gpos)
@@ -675,6 +679,13 @@ def _groupby_alias(sql: str) -> str:
             p = _find_kw(sql, kw, start)
             if p != -1:
                 end = min(end, p)
+        # nearest depth-0 SELECT before this GROUP BY owns the list
+        sel_m = None
+        for cand in re.finditer(r"\bSELECT\b", sql[:gpos], flags=re.IGNORECASE):
+            head = sql[: cand.start()]
+            if head.count("(") == head.count(")"):
+                sel_m = cand
+        fpos = _find_kw(sql, "FROM", sel_m.end()) if sel_m else -1
         items = _top_level_split(sql[start:end])
         changed = False
         new_items = []
@@ -682,29 +693,28 @@ def _groupby_alias(sql: str) -> str:
             am = re.search(
                 r"\s+AS\s+[`\"]?(\w+)[`\"]?\s*$", it, flags=re.IGNORECASE
             )
-            if not am:
+            if not am or fpos == -1 or fpos >= gpos:
                 new_items.append(it)
                 continue
             name, expr = am.group(1), it[: am.start()].strip()
-            sel_m = re.search(r"\bSELECT\b", sql[:gpos], flags=re.IGNORECASE)
-            fpos = _find_kw(sql, "FROM", sel_m.end()) if sel_m else -1
-            if fpos == -1:
+            sel_items = _top_level_split(sql[sel_m.end():fpos])
+            hit = None
+            for j, si in enumerate(sel_items):
+                if si.strip().strip('`"') == name:
+                    hit = j
+                    break
+            if hit is None:
                 new_items.append(it)
                 continue
-            sel = sql[sel_m.end():fpos]
-            new_sel = re.sub(
-                rf"(?<![\w.`]){re.escape(name)}(?![\w`(])",
-                f"{expr} AS {name}",
-                sel,
-                count=1,
-            )
-            if new_sel == sel:
-                new_items.append(it)
-                continue
+            sel_items[hit] = f"{expr} AS {name}"
+            new_sel = " " + ", ".join(s.strip() for s in sel_items) + " "
+            old_len = fpos - sel_m.end()
             sql = sql[: sel_m.end()] + new_sel + sql[fpos:]
-            shift = len(new_sel) - len(sel)
+            shift = len(new_sel) - old_len
             start += shift
             end += shift
+            fpos += shift
+            gpos += shift
             new_items.append(expr)
             changed = True
         if changed:
@@ -712,7 +722,6 @@ def _groupby_alias(sql: str) -> str:
                 i.strip() for i in new_items
             ) + " " + sql[end:]
         gpos = start
-    return sql
 
 
 def _having_window_alias(sql: str) -> str:
@@ -739,7 +748,9 @@ def _having_window_alias(sql: str) -> str:
                 hend = min(hend, p)
         clause = sql[hpos:hend]
         new_clause = re.sub(
-            rf"(?<![\w.`]){re.escape(name)}(?![\w`(])", expr, clause
+            rf"(?<![\w.`]){re.escape(name)}(?![\w`(])",
+            lambda _m: expr,  # literal insert: expr may contain \ or \g
+            clause,
         )
         if new_clause != clause:
             sql = sql[:hpos] + new_clause + sql[hend:]
@@ -1002,6 +1013,39 @@ def _interval_to_micros(text: str) -> int | None:
             return None
         total += int(num) * mult
     return total or None
+
+
+def restore_ansi(spark, prev) -> None:
+    """Undo a per-case ``spark.sql.ansi.enabled`` pin: restore the
+    previous value, or UNSET when the key was never set (merely
+    skipping restoration would leave the session pinned non-ANSI)."""
+    if prev is None:
+        try:
+            spark.conf.unset("spark.sql.ansi.enabled")
+        except Exception:  # noqa: BLE001 — conf already unset
+            pass
+    else:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
+
+
+def _rewrite_array_size(sql: str) -> str:
+    """ARRAY_SIZE(x) -> nullif(size(x), -1) with balanced parens (the
+    -1 branch only fires for NULL input under legacy sizeOfNull, which
+    is exactly the reference's MISSING result; real arrays are >= 0)."""
+    while True:
+        m = re.search(r"\bARRAY_SIZE\s*\(", sql, flags=re.IGNORECASE)
+        if not m:
+            return sql
+        got = _call_args(sql, m.end() - 1)
+        if not got:
+            return sql
+        close_p, args = got
+        inner = ", ".join(a.strip() for a in args)
+        sql = (
+            sql[: m.start()]
+            + f"nullif(size({inner}), -1)"
+            + sql[close_p + 1:]
+        )
 
 
 def _call_args(sql: str, name_end: int) -> tuple[int, list[str]] | None:
@@ -1766,13 +1810,10 @@ def translate(
     if ieee_division:
         # typed-column path only (ieee_division=False marks the variant
         # route, whose rewriter dispatches ARRAY_SIZE itself — lists
-        # only, v_asize — distinct from SIZE on lists+structs)
-        sql = _rewrite_outside_strings(
-            sql,
-            lambda s: re.sub(
-                r"\bARRAY_SIZE\s*\(", "size(", s, flags=re.IGNORECASE
-            ),
-        )
+        # only, v_asize — distinct from SIZE on lists+structs).
+        # nullif(.., -1) keeps the MISSING discipline: under non-ANSI
+        # legacy sizeOfNull, Spark's size(NULL) is -1, not NULL.
+        sql = _rewrite_array_size(sql)
     sql = _rewrite_calls(sql)
     sql = _int_division(sql)
     if ieee_division:
@@ -2353,8 +2394,7 @@ def _run_variant_case(
             break
         diff = compare(got, expected, is_ordered(sql))
     finally:
-        if prev_ansi is not None:
-            spark.conf.set("spark.sql.ansi.enabled", prev_ansi)
+        restore_ansi(spark, prev_ansi)
     if diff is None:
         return {"case": rel, "status": "pass", "sql": sql}
     rec = {"case": rel, "status": "mismatch", "detail": diff[:400], "sql": sql}
@@ -2415,8 +2455,7 @@ def run_case(spark, path: str, keep_rows: bool = False) -> dict:
         except Exception as exc:  # noqa: BLE001
             return {"case": rel, "status": "error", "detail": _err_text(exc)}
         finally:
-            if prev_ansi is not None:
-                spark.conf.set("spark.sql.ansi.enabled", prev_ansi)
+            restore_ansi(spark, prev_ansi)
         if diff is None:
             return {"case": rel, "status": "pass", "sql": sql}
         return {"case": rel, "status": "mismatch", "detail": diff[:400],
@@ -2504,8 +2543,7 @@ def run_case(spark, path: str, keep_rows: bool = False) -> dict:
                 }
         diff = compare(got, expected, is_ordered(sql))
     finally:
-        if prev_ansi is not None:
-            spark.conf.set("spark.sql.ansi.enabled", prev_ansi)
+        restore_ansi(spark, prev_ansi)
     if diff is None:
         return {"case": rel, "status": "pass", "sql": sql}
     rec = {"case": rel, "status": "mismatch", "detail": diff[:400], "sql": sql}

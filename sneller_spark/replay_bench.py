@@ -94,8 +94,7 @@ def run_bench_case(spark, path: str, repl: int = 8) -> dict:
         return {"case": rel, "status": "error", "detail": str(exc)[:300],
                 "sql": locals().get("sql", "")}
     finally:
-        if prev_ansi is not None:
-            spark.conf.set("spark.sql.ansi.enabled", prev_ansi)
+        replay.restore_ansi(spark, prev_ansi)
 
 
 def time_bench_case(
@@ -114,13 +113,22 @@ def time_bench_case(
     if "sn_" in sql:
         target_rows = max(target_rows // 10, len(lines))
     repl = max(1, target_rows // max(len(lines), 1))
-    pq = os.path.join(scratch, rel.replace("/", "__") + ".parquet")
+    # cache keyed by case AND replication — a stale smaller dataset
+    # must not be timed while reporting the new row count
+    pq = os.path.join(
+        scratch, f"{rel.replace('/', '__')}.x{repl}.parquet"
+    )
     prev_ansi = spark.conf.get("spark.sql.ansi.enabled", None)
     spark.conf.set("spark.sql.ansi.enabled", "false")
     try:
         if not os.path.exists(pq):
             small = spark.table("input")
-            big = spark.range(repl).crossJoin(small).drop("id")
+            # name the replication column uniquely: .drop("id") would
+            # also drop an input column called id
+            big = (
+                spark.range(repl).toDF("__repl")
+                .crossJoin(small).drop("__repl")
+            )
             big.write.mode("overwrite").parquet(pq)
         spark.read.parquet(pq).createOrReplaceTempView("input")
         best = None
@@ -139,5 +147,4 @@ def time_bench_case(
             "logical_mb_per_sec": round(in_bytes / best / 1e6, 1),
         }
     finally:
-        if prev_ansi is not None:
-            spark.conf.set("spark.sql.ansi.enabled", prev_ansi)
+        replay.restore_ansi(spark, prev_ansi)

@@ -219,7 +219,7 @@ def run_pir_case(spark, path: str) -> dict:
             df, _ = replay.load_input(spark, lines)
             df.createOrReplaceTempView(tbl)
         sql = replay.translate(query)
-        df = None
+        df = rows = None
         for attempt in range(4):
             try:
                 df = spark.sql(sql)
@@ -255,6 +255,9 @@ def run_pir_case(spark, path: str) -> dict:
                         continue
                 return {"case": rel, "status": "error",
                         "detail": str(exc)[:300], "sql": sql}
+        if df is None or rows is None:
+            return {"case": rel, "status": "error",
+                    "detail": "retries exhausted", "sql": sql}
         # a third section is the expected SPLIT plan: UNION MAP over the
         # table's parts with a partial/merge aggregate decomposition
         # (SUM.PARTIAL/.MERGE, SUM_COUNT, SUM_INT).  Catalyst's analog
@@ -275,5 +278,4 @@ def run_pir_case(spark, path: str) -> dict:
         return {"case": rel, "status": "pass", "rows": len(rows),
                 "split_checked": wants_split, "sql": sql}
     finally:
-        if prev_ansi is not None:
-            spark.conf.set("spark.sql.ansi.enabled", prev_ansi)
+        replay.restore_ansi(spark, prev_ansi)
