@@ -2129,14 +2129,13 @@ def compare(got: list[dict], expected: list[dict], ordered: bool) -> str | None:
 # ---------------------------------------------------------------------------
 # runner
 
-_UDFS_REGISTERED: set[int] = set()
-
-
 def ensure_replay_udfs(spark) -> None:
     """Register python-backed reference builtins the SQL veneer can't
     express (GEO_HASH base32 interleaving; numpy kernel shared with
-    functions/scalar.py, batched per distinct precision)."""
-    if id(spark) in _UDFS_REGISTERED:
+    functions/scalar.py, batched per distinct precision).  Guarded by a
+    catalog probe, not an id(spark) cache — ids recycle after a stopped
+    session is collected."""
+    if spark.catalog.functionExists("sn_lower"):
         return
     import pandas as pd
     from pyspark.sql import functions as F
@@ -2192,7 +2191,6 @@ def ensure_replay_udfs(spark) -> None:
         "sn_contains_fuzzy_uni",
         lambda s, n, t: contains_fuzzy_ref(s, n, t, False), "boolean",
     )
-    _UDFS_REGISTERED.add(id(spark))
 
 
 _DATASHAPE_DEPTH = 5
