@@ -49,6 +49,7 @@ chains; nesting deeper than two bucket levels.
 
 from __future__ import annotations
 
+import re
 from typing import Any
 
 from pyspark.sql import Column, DataFrame
@@ -199,6 +200,15 @@ def query_to_column(q: dict[str, Any] | None, now=None) -> Column:
         field, spec = next(iter(body.items()))
         val = spec["query"] if isinstance(spec, dict) else spec
         return F.col(field).ilike(f"%{val}%")
+    if kind == "match_phrase":
+        # parse_query_match_phrase (elastic-proxy): Kibana emits these
+        # for keyword/bool/numeric fields — equality for non-strings,
+        # phrase containment for text
+        field, spec = next(iter(body.items()))
+        val = spec["query"] if isinstance(spec, dict) else spec
+        if isinstance(val, str):
+            return F.col(field).ilike(f"%{val}%")
+        return F.col(field) == F.lit(val)
     if kind == "bool":
         pred = F.lit(True)
         for sub in body.get("must", []) + body.get("filter", []):
@@ -379,6 +389,27 @@ def _apply_pipeline_aggs(out: DataFrame, pipeline: dict[str, Any]) -> DataFrame:
     return out
 
 
+_FIXED_UNIT_S = {"ms": 0.001, "s": 1, "m": 60, "h": 3600, "d": 86400}
+
+
+def _date_hist_key(body: dict[str, Any], alias: str) -> Column:
+    """date_histogram key: calendar intervals truncate to the unit;
+    fixed intervals epoch-bucket like the reference's translation to
+    TIME_BUCKET(field, seconds) (aggs_date_histogram.go — e.g. Kibana's
+    fixed_interval "10d" becomes TIME_BUCKET(ts, 864000))."""
+    iv = body.get("calendar_interval") or body.get("fixed_interval")
+    unit = _CAL_INTERVALS.get(iv)
+    if unit is not None:
+        return F.date_trunc(unit, F.col(body["field"])).alias(alias)
+    m = re.fullmatch(r"(\d+)(ms|s|m|h|d)", iv or "")
+    if not m:
+        raise ElasticDslError(f"unsupported date_histogram interval {iv!r}")
+    secs = int(m.group(1)) * _FIXED_UNIT_S[m.group(2)]
+    from ..functions import time_bucket
+
+    return time_bucket(F.col(body["field"]), secs).alias(alias)
+
+
 def _bucket_key_col(kind: str, body: dict[str, Any], alias: str) -> Column:
     """The grouping key expression for one bucket agg level."""
     if kind == "terms":
@@ -387,27 +418,27 @@ def _bucket_key_col(kind: str, body: dict[str, Any], alias: str) -> Column:
         interval = float(body["interval"])
         return (F.floor(F.col(body["field"]) / interval) * interval).alias(alias)
     if kind == "date_histogram":
-        iv = body.get("calendar_interval") or body.get("fixed_interval")
-        unit = _CAL_INTERVALS.get(iv)
-        if unit is None:
-            raise ElasticDslError(f"unsupported date_histogram interval {iv!r}")
-        return F.date_trunc(unit, F.col(body["field"])).alias(alias)
+        return _date_hist_key(body, alias)
     raise ElasticDslError(f"unsupported nested bucket kind {kind!r}")
 
 
 def _nested_bucket_df(
     df: DataFrame,
+    outer_kind: str,
     outer_body: dict[str, Any],
     inner_name: str,
     inner_spec: dict[str, Any],
 ) -> DataFrame:
-    """terms bucket containing a nested bucket agg (the reference
+    """Bucket agg containing a nested bucket agg (the reference
     proxy's aggsGenerateContext nesting — elasticproxy/elastic-proxy/
     aggs_terms.go builds GROUP BY over every nesting level's key in ONE
     query; nestingLevel > 1 caps inner buckets at its groupByLimit).
+    The outer level may be terms (doc-count-desc order + size cap) or
+    histogram/date_histogram (key-asc order, no cap — Kibana's
+    delay-type dashboard shape, aggs_date_histogram.go).
 
     Flattened tabular output, one row per (outer bucket, inner bucket):
-    `key`/`doc_count` for the outer terms level, `<inner>_key`/
+    `key`/`doc_count` for the outer level, `<inner>_key`/
     `<inner>_doc_count` (+ metric sub-aggs) for the inner level.  One
     groupBy over both keys; the outer doc_count is a window sum and
     both size caps are rank filters over the (small) aggregated result
@@ -419,7 +450,7 @@ def _nested_bucket_df(
         raise ElasticDslError(f"nested {inner_kind} buckets unsupported")
     inner_body = inner_spec[inner_kind]
     metrics = _sub_metric_exprs(inner_spec.get("aggs"))
-    okey = F.col(outer_body["field"]).alias("key")
+    okey = _bucket_key_col(outer_kind, outer_body, "key")
     ikey = _bucket_key_col(inner_kind, inner_body, f"{inner_name}_key")
     icnt = f"{inner_name}_doc_count"
 
@@ -427,12 +458,20 @@ def _nested_bucket_df(
     out = grouped.withColumn(
         "doc_count", F.sum(icnt).over(Window.partitionBy("key"))
     )
-    # outer bucket order/cap: Elastic terms order (doc_count desc, key
-    # asc); dense_rank over that pair gives one rank per outer bucket
-    out = out.withColumn(
-        "_orank",
-        F.dense_rank().over(Window.orderBy(F.desc("doc_count"), F.asc("key"))),
-    ).filter(F.col("_orank") <= int(outer_body.get("size", 10)))
+    if outer_kind == "terms":
+        # outer bucket order/cap: Elastic terms order (doc_count desc,
+        # key asc); dense_rank over that pair ranks each outer bucket
+        out = out.withColumn(
+            "_orank",
+            F.dense_rank().over(
+                Window.orderBy(F.desc("doc_count"), F.asc("key"))
+            ),
+        ).filter(F.col("_orank") <= int(outer_body.get("size", 10)))
+    else:
+        # histogram levels are key-ordered and uncapped
+        out = out.withColumn(
+            "_orank", F.dense_rank().over(Window.orderBy(F.asc("key")))
+        )
     inner_size = int(inner_body.get("size", 10)) if inner_kind == "terms" else None
     order_inner = [F.desc(icnt), F.asc(f"{inner_name}_key")] if inner_kind == "terms" \
         else [F.asc(f"{inner_name}_key")]
@@ -524,16 +563,17 @@ def aggs_to_df(df: DataFrame, aggs: dict[str, Any]) -> DataFrame:
         (n, s) for n, s in (sub or {}).items() if set(s) & _BUCKET_KINDS
     ]
     if nested:
-        if kind != "terms" or len(nested) > 1:
+        if kind not in ("terms", "histogram", "date_histogram") or len(nested) > 1:
             raise ElasticDslError(
-                "nested buckets: exactly one, inside a terms bucket"
+                "nested buckets: exactly one, inside a terms/histogram/"
+                "date_histogram bucket"
             )
         if len(sub) > 1:
             raise ElasticDslError(
                 "metric sub-aggs beside a nested bucket unsupported "
                 "(put them on the inner level)"
             )
-        return _nested_bucket_df(df, body, *nested[0])
+        return _nested_bucket_df(df, kind, body, *nested[0])
     hits = [(n, s["top_hits"]) for n, s in (sub or {}).items() if "top_hits" in s]
     if hits:
         if kind != "terms" or len(hits) > 1 or len(sub) > 1:
@@ -598,13 +638,11 @@ def aggs_to_df(df: DataFrame, aggs: dict[str, Any]) -> DataFrame:
             df.groupBy(key).agg(F.count(F.lit(1)).alias("doc_count"), *metrics)
         )
     if kind == "date_histogram":
-        iv = body.get("calendar_interval") or body.get("fixed_interval")
-        unit = _CAL_INTERVALS.get(iv)
-        if unit is None:
-            raise ElasticDslError(f"unsupported date_histogram interval {iv!r}")
-        key = F.date_trunc(unit, F.col(body["field"])).alias("key")
+        key = _date_hist_key(body, "key")
         return _finish(
-            df.groupBy(key).agg(F.count(F.lit(1)).alias("doc_count"), *metrics)
+            df.groupBy(key)
+            .agg(F.count(F.lit(1)).alias("doc_count"), *metrics)
+            .orderBy("key")
         )
     if kind == "filters":
         # named predicate buckets -> conditional aggregates, ONE scan

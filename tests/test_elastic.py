@@ -263,9 +263,12 @@ def test_nested_terms_buckets(ev):
     got2 = elastic_search(ev, body2).toPandas()
     assert list(got2["key"]) == ["click", "click"]
     assert "s" in got2.columns
-    with pytest.raises(ElasticDslError):
-        aggs_to_df(ev, {"o": {"histogram": {"field": "score", "interval": 1},
-                              "aggs": {"i": {"terms": {"field": "kind"}}}}})
+    # histogram > terms nesting (Kibana delay-type shape) is supported:
+    # key-asc outer order, no outer cap
+    hist = aggs_to_df(ev, {"o": {"histogram": {"field": "score", "interval": 1},
+                                 "aggs": {"i": {"terms": {"field": "kind"}}}}}).toPandas()
+    assert list(hist.columns) == ["key", "doc_count", "i_key", "i_doc_count"]
+    assert list(hist["key"]) == sorted(hist["key"])
     with pytest.raises(ElasticDslError):
         aggs_to_df(ev, {"o": {"terms": {"field": "kind"},
                               "aggs": {"i": {"terms": {"field": "tag"}},
