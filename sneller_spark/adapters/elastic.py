@@ -16,8 +16,9 @@ aggregates evaluated in ONE pass.
 Supported (mirroring elasticproxy's documented surface):
   query:  match_all, term, terms, range (gt/gte/lt/lte), exists,
           prefix, wildcard, match (substring, case-insensitive — no
-          scoring/analysis, like the proxy), bool (must/filter/
-          should/must_not)
+          scoring/analysis, like the proxy), match_phrase (strict
+          equality for every type, query.go:276-281), bool (must/
+          filter/should/must_not)
   aggs:   metric — avg, sum, min, max, value_count, cardinality
           (exact by default so results are oracle-checkable;
           approximate HLL when `precision_threshold` is given, like
@@ -26,7 +27,9 @@ Supported (mirroring elasticproxy's documented surface):
           bucket — terms (size, deterministic doc-count-desc/key-asc
           order), multi_terms (composite keys, _count/_key order;
           aggs_multi_terms.go), histogram (interval), date_histogram
-          (calendar_interval hour/day/month/year), filters (named
+          (calendar_interval hour/day/month/year; fixed_interval
+          ms/s/m/h/d via TIME_BUCKET epoch bucketing,
+          aggs_date_histogram.go), filters (named
           predicates -> FILTER-clause aggregates, single pass),
           filter (single named filter bucket, aggs_filter.go),
           geotile_grid (GEO_TILE_ES key + bounds pre-filter,
@@ -35,12 +38,13 @@ Supported (mirroring elasticproxy's documented surface):
           sibling metrics, aggs_bucket_script.go) and bucket_sort
           (aggs_bucket_sort.go), both plan rewrites over the finished
           bucket set
-  nesting: a terms bucket may hold ONE nested bucket agg (terms/
-          histogram/date_histogram, + inner metric sub-aggs) — the
-          proxy's aggsGenerateContext nesting, flattened to one row
-          per (outer, inner) bucket in a single groupBy pass — or ONE
-          top_hits sub-agg (aggs_top_hits.go: per-bucket top-N raw
-          rows via a partitioned row_number window)
+  nesting: a terms/histogram/date_histogram bucket may hold ONE
+          nested bucket agg (terms/histogram/date_histogram, + inner
+          metric sub-aggs) — the proxy's aggsGenerateContext nesting,
+          flattened to one row per (outer, inner) bucket in a single
+          groupBy pass — or a terms bucket may hold ONE top_hits
+          sub-agg (aggs_top_hits.go: per-bucket top-N raw rows via a
+          partitioned row_number window)
   top level: query + aggs, or query + sort/size/_source (hits)
 
 Unsupported, like the reference proxy: scoring, full-text analysis
@@ -196,18 +200,20 @@ def query_to_column(q: dict[str, Any] | None, now=None) -> Column:
         return _wildcard_pred(field, val)
     if kind == "match":
         # no scoring/analyzers (reference proxy limitation too):
-        # case-insensitive substring containment
+        # case-insensitive containment of the LITERAL query string —
+        # LIKE metacharacters in the value are data, not pattern
         field, spec = next(iter(body.items()))
         val = spec["query"] if isinstance(spec, dict) else spec
-        return F.col(field).ilike(f"%{val}%")
+        esc = str(val).replace("\\", "\\\\").replace("%", r"\%") \
+                      .replace("_", r"\_")
+        return F.col(field).ilike(f"%{esc}%")
     if kind == "match_phrase":
-        # parse_query_match_phrase (elastic-proxy): Kibana emits these
-        # for keyword/bool/numeric fields — equality for non-strings,
-        # phrase containment for text
+        # the reference proxy translates match_phrase to strict
+        # equality for every type (elasticproxy/query.go:276-281,
+        # Operator "=") — Kibana emits these for keyword/bool/numeric
+        # fields
         field, spec = next(iter(body.items()))
         val = spec["query"] if isinstance(spec, dict) else spec
-        if isinstance(val, str):
-            return F.col(field).ilike(f"%{val}%")
         return F.col(field) == F.lit(val)
     if kind == "bool":
         pred = F.lit(True)
@@ -467,11 +473,11 @@ def _nested_bucket_df(
                 Window.orderBy(F.desc("doc_count"), F.asc("key"))
             ),
         ).filter(F.col("_orank") <= int(outer_body.get("size", 10)))
+        outer_sort = [F.asc("_orank")]
     else:
-        # histogram levels are key-ordered and uncapped
-        out = out.withColumn(
-            "_orank", F.dense_rank().over(Window.orderBy(F.asc("key")))
-        )
+        # histogram levels are key-ordered and uncapped — sort by the
+        # key directly (no global rank window needed)
+        outer_sort = [F.asc("key")]
     inner_size = int(inner_body.get("size", 10)) if inner_kind == "terms" else None
     order_inner = [F.desc(icnt), F.asc(f"{inner_name}_key")] if inner_kind == "terms" \
         else [F.asc(f"{inner_name}_key")]
@@ -484,7 +490,7 @@ def _nested_bucket_df(
     cols = ["key", "doc_count", f"{inner_name}_key", icnt] + [
         c for c in grouped.columns if c not in ("key", f"{inner_name}_key", icnt)
     ]
-    return out.orderBy("_orank", "_irank").select(*cols)
+    return out.orderBy(*outer_sort, F.asc("_irank")).select(*cols)
 
 
 def _top_hits_df(
@@ -548,8 +554,9 @@ def _top_hits_df(
 
 def aggs_to_df(df: DataFrame, aggs: dict[str, Any]) -> DataFrame:
     """Translate an `aggs` object.  Exactly one bucket agg per nesting
-    level (with optional metric sub-aggs; a terms bucket may instead
-    hold ONE nested bucket agg) or a flat set of metric aggs."""
+    level (with optional metric sub-aggs; a terms/histogram/
+    date_histogram bucket may instead hold ONE nested bucket agg) or a
+    flat set of metric aggs."""
     bucket_items = [(n, s) for n, s in aggs.items() if set(s) & _BUCKET_KINDS]
     if not bucket_items:
         return df.agg(*_sub_metric_exprs(aggs))

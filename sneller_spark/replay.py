@@ -2134,8 +2134,9 @@ def ensure_replay_udfs(spark) -> None:
     express (GEO_HASH base32 interleaving; numpy kernel shared with
     functions/scalar.py, batched per distinct precision).  Guarded by a
     catalog probe, not an id(spark) cache — ids recycle after a stopped
-    session is collected."""
-    if spark.catalog.functionExists("sn_lower"):
+    session is collected.  The probe targets the LAST function this
+    body registers so a mid-sequence failure retries the whole set."""
+    if spark.catalog.functionExists("sn_contains_fuzzy_uni"):
         return
     import pandas as pd
     from pyspark.sql import functions as F

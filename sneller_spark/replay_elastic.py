@@ -96,15 +96,27 @@ def list_scenarios() -> list[str]:
 
 
 def _canon(v):
-    if isinstance(v, datetime.datetime):
-        # the reference's TIME_BUCKET yields epoch seconds, the adapter
-        # a timestamp — compare in epoch space
-        if v.tzinfo is None:
-            v = v.replace(tzinfo=datetime.timezone.utc)
-        return int(v.timestamp())
     if isinstance(v, float):
         return int(v) if v.is_integer() else round(v, 6)
     return v
+
+
+def _epoch_cols(df, cols):
+    """Select ``cols``, converting timestamp columns to epoch seconds
+    SPARK-SIDE (the reference's TIME_BUCKET yields epoch seconds and
+    the adapter yields timestamps; collect()'d naive datetimes would
+    carry the driver's local timezone, so the conversion must not
+    happen in Python)."""
+    from pyspark.sql import functions as F
+
+    types = dict(df.dtypes)
+    out = []
+    for c in cols:
+        if types.get(c, "").startswith("timestamp"):
+            out.append(F.unix_seconds(F.col(f"`{c}`")).alias(c))
+        else:
+            out.append(F.col(f"`{c}`").alias(c))
+    return df.select(*out)
 
 
 def run_scenario(spark, name: str) -> dict:
@@ -118,26 +130,29 @@ def run_scenario(spark, name: str) -> dict:
     ref_sql = open(os.path.join(KIBANA, f"{name}-step2-query.sql")).read()
     a_cols, b_cols = SCENARIOS[name]
 
-    flights = spark.read.json(
-        spark.sparkContext.parallelize(
-            [json.dumps(r) for r in flights_rows()], 4
-        )
-    ).withColumn("timestamp", F.to_timestamp("timestamp"))
-    flights.createOrReplaceTempView("kibana_sample_data_flights")
+    # the table is identical for all 12 scenarios — build it once per
+    # session (parallelize + JSON schema inference is an extra job)
+    if not spark.catalog.tableExists("kibana_sample_data_flights"):
+        flights = spark.read.json(
+            spark.sparkContext.parallelize(
+                [json.dumps(r) for r in flights_rows()], 4
+            )
+        ).withColumn("timestamp", F.to_timestamp("timestamp"))
+        flights.createOrReplaceTempView("kibana_sample_data_flights")
+    flights = spark.table("kibana_sample_data_flights")
 
     try:
         if a_cols:
-            a_df = elastic_search(flights, body)
+            a_df = _epoch_cols(elastic_search(flights, body), a_cols)
             a = [tuple(_canon(r[c]) for c in a_cols)
-                 for r in a_df.select(*[f"`{c}`" for c in a_cols]).collect()]
+                 for r in a_df.collect()]
         else:
             # aggs {} + size 0: the dashboard reads hits.total — the
             # filtered row count
             a = [(elastic_search(
                 flights, {"query": body.get("query")}).count(),)]
-        b_df = partiql.sql(spark, ref_sql, ansi="keep")
-        b = [tuple(_canon(r[c]) for c in b_cols)
-             for r in b_df.select(*[f"`{c}`" for c in b_cols]).collect()]
+        b_df = _epoch_cols(partiql.sql(spark, ref_sql, ansi="keep"), b_cols)
+        b = [tuple(_canon(r[c]) for c in b_cols) for r in b_df.collect()]
     except Exception as exc:  # noqa: BLE001
         return {"scenario": name, "status": "error",
                 "detail": str(exc)[:300]}

@@ -81,7 +81,9 @@ def convert(spark, data_path: str, hints: dict):
 
     cols = {}
     for i, f in enumerate(hints["fields"]):
-        raw = F.element_at(parts, i + 1)
+        # try_element_at: a sparse line with fewer fields than hinted
+        # yields MISSING (plain element_at throws under ANSI mode)
+        raw = F.try_element_at(parts, F.lit(i + 1))
         if data_path.endswith(".tsv"):
             raw = _tsv_unescape(raw)
         raw = F.nullif(raw, F.lit(""))
@@ -104,6 +106,10 @@ def convert(spark, data_path: str, hints: dict):
                 v = F.timestamp_seconds(raw.cast("long"))
             else:
                 v = F.to_timestamp(raw)
+            # RFC3339 text rendered Spark-side under the session's
+            # pinned UTC — collect()'d naive datetimes would carry the
+            # DRIVER's local timezone
+            v = F.date_format(v, "yyyy-MM-dd'T'HH:mm:ss'Z'")
         else:
             raise ValueError(f"unsupported hint type {t!r}")
         cols[f["name"]] = v
@@ -136,11 +142,9 @@ def _strip_none(v):
 
 
 def _canon_row(d: dict) -> tuple:
-    import datetime
-
+    # timestamps were already rendered to RFC3339 text Spark-side (UTC
+    # session timezone) — no driver-timezone-dependent values remain
     def c(v):
-        if isinstance(v, datetime.datetime):
-            return v.strftime("%Y-%m-%dT%H:%M:%SZ")
         if isinstance(v, dict):
             return tuple(sorted((k, c(x)) for k, x in v.items()))
         return v
