@@ -50,8 +50,9 @@ from sneller_spark.session import ship_package  # noqa: E402
 # tools/check_correctness.py run.
 #
 # Added late in round 6 (after the window was frozen):
-# `partiql_surface_pricing` — oracle-backed, pre-flighted green; the
-# natural first-time rotation candidate for round 7.
+# `partiql_surface_pricing` and `elastic_query_string_filter` — both
+# oracle-backed, pre-flighted green; the natural first-time rotation
+# candidates for round 7.
 # ---------------------------------------------------------------------
 _PRIORITY = [
     # --- anchors (driver-green in >=2 earlier rounds; kept so every

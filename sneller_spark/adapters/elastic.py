@@ -18,7 +18,9 @@ Supported (mirroring elasticproxy's documented surface):
           prefix, wildcard, match (substring, case-insensitive — no
           scoring/analysis, like the proxy), match_phrase (strict
           equality for every type, query.go:276-281), bool (must/
-          filter/should/must_not)
+          filter/should/must_not), query_string (Lucene search-bar
+          syntax via adapters.qs — lexer/grammar/typed-field
+          semantics from qs_lexer.rl + qs_parser.y + qs.go)
   aggs:   metric — avg, sum, min, max, value_count, cardinality
           (exact by default so results are oracle-checkable;
           approximate HLL when `precision_threshold` is given, like
@@ -169,7 +171,8 @@ def _wildcard_pred(field: str, pattern: str) -> Column:
     return F.col(field).like(esc.replace("*", "%").replace("?", "_"))
 
 
-def query_to_column(q: dict[str, Any] | None, now=None) -> Column:
+def query_to_column(q: dict[str, Any] | None, now=None,
+                    qs_mapping: dict[str, dict] | None = None) -> Column:
     """Translate an Elastic `query` clause into a boolean Column.
     `now` anchors date-math range bounds (injectable for determinism)."""
     if q is None or q == {} or "match_all" in (q or {}):
@@ -215,17 +218,27 @@ def query_to_column(q: dict[str, Any] | None, now=None) -> Column:
         field, spec = next(iter(body.items()))
         val = spec["query"] if isinstance(spec, dict) else spec
         return F.col(field) == F.lit(val)
+    if kind == "query_string":
+        # Lucene search-bar syntax (reference: elasticproxy/
+        # elastic-proxy/qs_lexer.rl + qs_parser.y + qs.go) — parsed
+        # and lowered by adapters.qs into pure col/lit/rlike
+        # predicates; `now` is unused (qs has no date-math anchor)
+        from .qs import qs_to_column
+
+        return qs_to_column(body, mapping=qs_mapping)
     if kind == "bool":
         pred = F.lit(True)
         for sub in body.get("must", []) + body.get("filter", []):
-            pred = pred & query_to_column(sub, now)
+            pred = pred & query_to_column(sub, now, qs_mapping)
         for sub in body.get("must_not", []):
             # null-safe: Elastic's must_not KEEPS docs where the inner
             # predicate can't match (e.g. term on a missing field);
             # a bare `~NULL` would be NULL and drop the row
-            inner = F.coalesce(query_to_column(sub, now), F.lit(False))
+            inner = F.coalesce(query_to_column(sub, now, qs_mapping),
+                               F.lit(False))
             pred = pred & ~inner
-        should = [query_to_column(s, now) for s in body.get("should", [])]
+        should = [query_to_column(s, now, qs_mapping)
+                  for s in body.get("should", [])]
         if should:
             if "minimum_should_match" in body:
                 msm = body["minimum_should_match"]
@@ -704,11 +717,12 @@ def aggs_to_df(df: DataFrame, aggs: dict[str, Any]) -> DataFrame:
     raise ElasticDslError(f"unsupported bucket agg {kind!r}")
 
 
-def elastic_search(df: DataFrame, body: dict[str, Any], now=None) -> DataFrame:
+def elastic_search(df: DataFrame, body: dict[str, Any], now=None,
+                   qs_mapping: dict[str, dict] | None = None) -> DataFrame:
     """Run an Elastic search body against a DataFrame: `query` filters,
     then either `aggs` (returns buckets/metrics) or hits (`sort`,
     `size`, `_source` projection)."""
-    out = df.filter(query_to_column(body.get("query"), now))
+    out = df.filter(query_to_column(body.get("query"), now, qs_mapping))
     if "aggs" in body or "aggregations" in body:
         return aggs_to_df(out, body.get("aggs") or body["aggregations"])
     # Elastic sort is lexicographic over the listed keys (first key

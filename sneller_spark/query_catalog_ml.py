@@ -1482,6 +1482,36 @@ def elastic_filter_single_bucket(spark, sf_dir):
 
 
 @register(
+    "elastic_query_string_filter",
+    r"""SELECT doc_id, lang, source, n_chars FROM documents
+       WHERE regexp_matches(lang, '(^|[ \t])(?i)es([ \t]|$)')
+         AND regexp_matches(text, '(^|[ \t])(?i)spark([ \t]|$)')
+         AND regexp_matches(text, '(^|[ \t])(?i)window([ \t]|$)')
+         AND n_chars >= 100 AND n_chars < 200
+         AND NOT regexp_matches(source, '(^|[ \t])(?i)src3([ \t]|$)')
+       ORDER BY doc_id ASC""",
+)
+def elastic_query_string_filter(spark, sf_dir):
+    """Lucene query_string (the Kibana search bar) — adapters/qs.py
+    replays the reference's lexer/grammar/field semantics
+    (elasticproxy/elastic-proxy/qs_lexer.rl + qs_parser.y + qs.go):
+    word-boundary case-insensitive text matching, must(+) combine,
+    half-open numeric range, NOT.  The whole predicate lowers to
+    col/rlike Catalyst expressions — zero Python at run time."""
+    from .adapters.elastic import elastic_search
+
+    body = {
+        "query": {"query_string": {"query": (
+            "lang:es AND text:(+spark +window) "
+            "AND n_chars:[100 TO 200} AND NOT source:src3"
+        )}},
+        "sort": [{"doc_id": {"order": "asc"}}],
+        "_source": ["doc_id", "lang", "source", "n_chars"],
+    }
+    return elastic_search(load(spark, sf_dir, "documents"), body)
+
+
+@register(
     "elastic_geotile_grid",
     """WITH pts AS (SELECT (event_id % 16000) / 100.0 - 80.0 AS lat,
                            ((event_id * 7) % 36000) / 100.0 - 180.0 AS lon
