@@ -172,7 +172,8 @@ def _wildcard_pred(field: str, pattern: str) -> Column:
 
 
 def query_to_column(q: dict[str, Any] | None, now=None,
-                    qs_mapping: dict[str, dict] | None = None) -> Column:
+                    qs_mapping: dict[str, dict] | None = None,
+                    qs_schema=None) -> Column:
     """Translate an Elastic `query` clause into a boolean Column.
     `now` anchors date-math range bounds (injectable for determinism)."""
     if q is None or q == {} or "match_all" in (q or {}):
@@ -225,19 +226,20 @@ def query_to_column(q: dict[str, Any] | None, now=None,
         # predicates; `now` is unused (qs has no date-math anchor)
         from .qs import qs_to_column
 
-        return qs_to_column(body, mapping=qs_mapping)
+        return qs_to_column(body, mapping=qs_mapping, schema=qs_schema)
     if kind == "bool":
         pred = F.lit(True)
         for sub in body.get("must", []) + body.get("filter", []):
-            pred = pred & query_to_column(sub, now, qs_mapping)
+            pred = pred & query_to_column(sub, now, qs_mapping, qs_schema)
         for sub in body.get("must_not", []):
             # null-safe: Elastic's must_not KEEPS docs where the inner
             # predicate can't match (e.g. term on a missing field);
             # a bare `~NULL` would be NULL and drop the row
-            inner = F.coalesce(query_to_column(sub, now, qs_mapping),
-                               F.lit(False))
+            inner = F.coalesce(
+                query_to_column(sub, now, qs_mapping, qs_schema),
+                F.lit(False))
             pred = pred & ~inner
-        should = [query_to_column(s, now, qs_mapping)
+        should = [query_to_column(s, now, qs_mapping, qs_schema)
                   for s in body.get("should", [])]
         if should:
             if "minimum_should_match" in body:
@@ -722,7 +724,8 @@ def elastic_search(df: DataFrame, body: dict[str, Any], now=None,
     """Run an Elastic search body against a DataFrame: `query` filters,
     then either `aggs` (returns buckets/metrics) or hits (`sort`,
     `size`, `_source` projection)."""
-    out = df.filter(query_to_column(body.get("query"), now, qs_mapping))
+    out = df.filter(
+        query_to_column(body.get("query"), now, qs_mapping, df.schema))
     if "aggs" in body or "aggregations" in body:
         return aggs_to_df(out, body.get("aggs") or body["aggregations"])
     # Elastic sort is lexicographic over the listed keys (first key

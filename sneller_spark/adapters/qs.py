@@ -527,8 +527,31 @@ _CMP = {
 }
 
 
+def _schema_type(fields: list[str], schema) -> str | None:
+    """Resolve the Spark type name of a (possibly nested) field from a
+    StructType, or None when unknown."""
+    if schema is None:
+        return None
+    cur = schema
+    for i, p in enumerate(fields):
+        names = {f.name: f for f in getattr(cur, "fields", [])}
+        if p not in names:
+            return None
+        dt = names[p].dataType
+        if i == len(fields) - 1:
+            return dt.typeName()
+        cur = dt
+    return None
+
+
+_NUMERIC_TYPES = {
+    "byte", "short", "integer", "long", "float", "double", "decimal",
+}
+
+
 def _field_to_column(
-    e: QSField, default_field: list[str], mapping: dict[str, dict] | None
+    e: QSField, default_field: list[str],
+    mapping: dict[str, dict] | None, schema=None,
 ) -> Column:
     parts = e.fields if e.fields else default_field
     if not parts:
@@ -575,8 +598,14 @@ def _field_to_column(
         return _CMP[e.op](col, F.lit(value).try_cast("timestamp"))
     if e.vtype in (FLOATV, INTV):
         # the reference's comparisons never abort — a failed cast is
-        # MISSING (row dropped); try_cast to double reproduces that
-        # under ANSI mode and matches non-ANSI string/number coercion
+        # MISSING (row dropped).  When the schema says the column is
+        # already numeric, compare natively (an int literal against an
+        # int column keeps the predicate parquet-pushable — at scale
+        # that is row-group pruning); otherwise try_cast to double,
+        # which reproduces MISSING-on-bad-cast under ANSI mode and
+        # matches non-ANSI string/number coercion
+        if _schema_type(fields, schema) in _NUMERIC_TYPES:
+            return _CMP[e.op](col, F.lit(value))
         return _CMP[e.op](col.try_cast("double"), F.lit(float(value)))
     return _CMP[e.op](col, F.lit(value))
 
@@ -585,26 +614,28 @@ def to_column(
     node: Any,
     default_field: list[str] | None = None,
     mapping: dict[str, dict] | None = None,
+    schema=None,
 ) -> Column:
     """Lower a parsed qs AST to a Spark boolean Column."""
     if isinstance(node, QSValue):
         return F.lit(node.value)
     if isinstance(node, QSExpr1):
-        return ~to_column(node.expr, default_field, mapping)
+        return ~to_column(node.expr, default_field, mapping, schema)
     if isinstance(node, QSExpr2):
-        a = to_column(node.e1, default_field, mapping)
-        b = to_column(node.e2, default_field, mapping)
+        a = to_column(node.e1, default_field, mapping, schema)
+        b = to_column(node.e2, default_field, mapping, schema)
         return (a & b) if node.op == "AND" else (a | b)
     if isinstance(node, QSMust):  # un-combined must acts as its body
-        return to_column(node.expr, default_field, mapping)
+        return to_column(node.expr, default_field, mapping, schema)
     if isinstance(node, QSField):
-        return _field_to_column(node, default_field or [], mapping)
+        return _field_to_column(node, default_field or [], mapping, schema)
     raise QSParseError(f"query_string: unknown node {node!r}")
 
 
 def qs_to_column(
     body: dict[str, Any] | str,
     mapping: dict[str, dict] | None = None,
+    schema=None,
 ) -> Column:
     """Translate an Elastic ``query_string`` clause body (or a bare
     query text) into a boolean Column.
@@ -624,11 +655,12 @@ def qs_to_column(
     fields = body.get("fields")
     if fields:
         cols = [
-            to_column(node, f.split("."), mapping) for f in fields
+            to_column(node, f.split("."), mapping, schema) for f in fields
         ]
         out = cols[0]
         for c in cols[1:]:
             out = out & c
         return out
     default = body.get("default_field", "")
-    return to_column(node, default.split(".") if default else [], mapping)
+    return to_column(
+        node, default.split(".") if default else [], mapping, schema)

@@ -58,6 +58,39 @@ def test_query_string_fields_are_anded(spark):
     assert got == [1, 2]
 
 
+def test_numeric_range_is_schema_aware_and_pushable(spark):
+    """With a schema, numeric-column comparisons lower natively (no
+    try_cast wrapper) so they stay parquet-pushable; without one, the
+    try_cast(double) path preserves the reference's MISSING-on-bad-cast
+    semantics for string columns under ANSI mode."""
+    from sneller_spark.adapters.qs import qs_to_column
+    from sneller_spark.plans import explain_str
+
+    t = replay_qs.build_table(spark)
+    typed = qs_to_column(
+        {"query": "u_integer_count:[2 TO 5}", "default_field": "default"},
+        schema=t.schema)
+    untyped = qs_to_column(
+        {"query": "u_integer_count:[2 TO 5}", "default_field": "default"})
+    assert "TRY_CAST" not in repr(typed).upper()
+    assert "TRY_CAST" in repr(untyped).upper()
+    # same rows either way (the ints all parse)
+    a = sorted(r["id"] for r in t.filter(typed).select("id").collect())
+    b = sorted(r["id"] for r in t.filter(untyped).select("id").collect())
+    assert a == b and a
+
+    # and on a parquet scan the typed predicate reaches PushedFilters
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        t.write.mode("overwrite").parquet(f"{d}/t")
+        scan = spark.read.parquet(f"{d}/t")
+        plan = explain_str(scan.filter(qs_to_column(
+            {"query": "u_integer_count:[2 TO 5}"}, schema=scan.schema)))
+        assert "GreaterThanOrEqual(u_integer_count,2)" in plan
+        assert "LessThan(u_integer_count,5)" in plan
+
+
 def test_query_string_default_operator_and(spark):
     from sneller_spark.adapters.qs import qs_to_column
 
