@@ -148,8 +148,28 @@ def _maybe_date_math(val, now):
 # query -> Column predicate
 # ---------------------------------------------------------------------
 
-def _range_pred(field: str, spec: dict[str, Any], now=None) -> Column:
-    c = F.col(field)
+def _field_name(field: str, schema=None) -> str:
+    """Resolve an Elastic field path: a trailing `.keyword` that does
+    not itself resolve in the schema is the default keyword subfield
+    (exact match on the base field — expr.go:650-655's no-mapping
+    rule), so strip it.  Without a schema the name passes through."""
+    if schema is not None and field.endswith(".keyword"):
+        from .qs import _schema_type
+
+        parts = field.split(".")
+        if _schema_type(parts, schema) is None and _schema_type(
+            parts[:-1], schema
+        ) is not None:
+            return field[: -len(".keyword")]
+    return field
+
+
+def _range_pred(field: str, spec: dict[str, Any], now=None,
+                schema=None) -> Column:
+    c = F.col(_field_name(field, schema))
+    from .qs import _schema_type
+
+    is_ts = _schema_type(field.split("."), schema) == "timestamp"
     pred = F.lit(True)
     ops = {"gt": c.__gt__, "gte": c.__ge__, "lt": c.__lt__, "lte": c.__le__}
     seen = False
@@ -158,7 +178,15 @@ def _range_pred(field: str, spec: dict[str, Any], now=None) -> Column:
             continue
         if op not in ops:
             raise ElasticDslError(f"range op {op!r} on {field!r}")
-        pred = pred & ops[op](F.lit(_maybe_date_math(val, now)))
+        val = _maybe_date_math(val, now)
+        if is_ts and isinstance(val, (int, float)) and not isinstance(val, bool):
+            # Elastic's default date format is
+            # strict_date_optional_time||epoch_millis: a bare number
+            # against a date field is epoch milliseconds
+            lit = F.timestamp_millis(F.lit(int(val)))
+        else:
+            lit = F.lit(val)
+        pred = pred & ops[op](lit)
         seen = True
     if not seen:
         raise ElasticDslError(f"empty range on {field!r}")
@@ -185,15 +213,15 @@ def query_to_column(q: dict[str, Any] | None, now=None,
     if kind == "term":
         field, spec = next(iter(body.items()))
         val = spec["value"] if isinstance(spec, dict) else spec
-        return F.col(field) == F.lit(val)
+        return F.col(_field_name(field, qs_schema)) == F.lit(val)
     if kind == "terms":
         field, vals = next(iter(body.items()))
-        return F.col(field).isin(list(vals))
+        return F.col(_field_name(field, qs_schema)).isin(list(vals))
     if kind == "range":
         field, spec = next(iter(body.items()))
-        return _range_pred(field, spec, now)
+        return _range_pred(field, spec, now, qs_schema)
     if kind == "exists":
-        return F.col(body["field"]).isNotNull()
+        return F.col(_field_name(body["field"], qs_schema)).isNotNull()
     if kind == "prefix":
         field, spec = next(iter(body.items()))
         val = spec["value"] if isinstance(spec, dict) else spec
@@ -218,7 +246,7 @@ def query_to_column(q: dict[str, Any] | None, now=None,
         # fields
         field, spec = next(iter(body.items()))
         val = spec["query"] if isinstance(spec, dict) else spec
-        return F.col(field) == F.lit(val)
+        return F.col(_field_name(field, qs_schema)) == F.lit(val)
     if kind == "query_string":
         # Lucene search-bar syntax (reference: elasticproxy/
         # elastic-proxy/qs_lexer.rl + qs_parser.y + qs.go) — parsed
@@ -229,9 +257,9 @@ def query_to_column(q: dict[str, Any] | None, now=None,
         return qs_to_column(body, mapping=qs_mapping, schema=qs_schema)
     if kind == "bool":
         pred = F.lit(True)
-        for sub in body.get("must", []) + body.get("filter", []):
+        for sub in (body.get("must") or []) + (body.get("filter") or []):
             pred = pred & query_to_column(sub, now, qs_mapping, qs_schema)
-        for sub in body.get("must_not", []):
+        for sub in body.get("must_not") or []:
             # null-safe: Elastic's must_not KEEPS docs where the inner
             # predicate can't match (e.g. term on a missing field);
             # a bare `~NULL` would be NULL and drop the row
@@ -240,7 +268,7 @@ def query_to_column(q: dict[str, Any] | None, now=None,
                 F.lit(False))
             pred = pred & ~inner
         should = [query_to_column(s, now, qs_mapping, qs_schema)
-                  for s in body.get("should", [])]
+                  for s in body.get("should") or []]
         if should:
             if "minimum_should_match" in body:
                 msm = body["minimum_should_match"]
