@@ -73,15 +73,27 @@ class ElasticDslError(ValueError):
 _UNIT_SECONDS = {"s": 1, "m": 60, "h": 3600, "H": 3600, "d": 86400, "w": 604800}
 
 
-def parse_date_math(expr: str, now=None):
-    """Parse an Elastic date-math string — `now-7d/d`,
-    `2024-01-05||+1M/d`, `now+12h` — into a datetime.
+_ANCHOR_RE = re.compile(
+    r"(\d{4})[.\-](\d{1,2})[.\-](\d{1,2})"
+    r"(?:[T ](\d{1,2}):(\d{1,2})(?::(\d{1,2})(?:\.(\d{1,9}))?)?)?\Z"
+)
+_OP_RE = re.compile(r"([+\-])(\d+)([yMwdhHms])|/([yMwdhHms])")
 
-    Grammar (date_math.go): anchor (`now` or `<iso8601>||`), then any
-    number of `+Nu`/`-Nu` offsets (u in s m h H d w M y), then an
-    optional `/u` truncation.  Calendar units (M, y) shift by calendar
-    months/years like the reference, not fixed seconds.  `now` is
-    injectable so query plans are deterministic and testable."""
+
+def parse_date_math(expr: str, now=None):
+    """Parse an Elastic date-math string — `now-7d/d`, `now/d+10m`,
+    `2022.01.03 12:34||+1M` — into a datetime.
+
+    Grammar (date_math_lexer.rl:48-75): anchor (`now`, or a
+    `yyyy[.-]M[.-]d` date with optional `[T ]H:m[:s[.frac]]` time,
+    followed by `||`), then ANY interleaving of `+Nu`/`-Nu` adjusts
+    and `/u` roundings (u in y M w d h H m s), applied left to right.
+    Calendar units (M, y, and w as 7 calendar days) shift via
+    calendar arithmetic like the reference's AddDate, and `/w` rounds
+    to SUNDAY ("we'll always round to the nearest sunday",
+    date_math.go:62-65 — note real Elastic rounds to Monday; this
+    follows the reference).  `now` is injectable so query plans are
+    deterministic and testable."""
     import datetime as _dt
 
     if expr.startswith("now"):
@@ -89,53 +101,84 @@ def parse_date_math(expr: str, now=None):
         rest = expr[len("now"):]
     elif "||" in expr:
         raw, rest = expr.split("||", 1)
-        try:
-            anchor = _dt.datetime.fromisoformat(raw)
-        except ValueError as e:
-            raise ElasticDslError(f"bad date-math anchor {raw!r}") from e
+        m = _ANCHOR_RE.match(raw)
+        if m:
+            y, mo, d, hh, mm, ss, frac = m.groups()
+            micros = int((frac or "0").ljust(6, "0")[:6])
+            try:
+                anchor = _dt.datetime(
+                    int(y), int(mo), int(d), int(hh or 0), int(mm or 0),
+                    int(ss or 0), micros)
+            except ValueError as e:
+                raise ElasticDslError(
+                    f"bad date-math anchor {raw!r}") from e
+        else:
+            try:
+                anchor = _dt.datetime.fromisoformat(raw)
+            except ValueError as e:
+                raise ElasticDslError(
+                    f"bad date-math anchor {raw!r}") from e
     else:
         raise ElasticDslError(f"not a date-math expression: {expr!r}")
 
-    import re as _re
-
-    trunc = None
-    m = _re.fullmatch(r"((?:[+-]\d+[smhHdwMy])*)(?:/([smhHdwMy]))?", rest)
-    if m is None:
-        raise ElasticDslError(f"bad date-math ops {rest!r}")
-    ops, trunc = m.group(1), m.group(2)
-    for sign, num, unit in _re.findall(r"([+-])(\d+)([smhHdwMy])", ops):
-        n = int(num) * (1 if sign == "+" else -1)
-        if unit == "M":
-            month0 = anchor.month - 1 + n
-            year, month0 = anchor.year + month0 // 12, month0 % 12
-            import calendar as _cal
-
-            day = min(anchor.day, _cal.monthrange(year, month0 + 1)[1])
-            anchor = anchor.replace(year=year, month=month0 + 1, day=day)
-        elif unit == "y":
-            try:
-                anchor = anchor.replace(year=anchor.year + n)
-            except ValueError:  # Feb 29 -> Feb 28
-                anchor = anchor.replace(year=anchor.year + n, day=28)
+    pos = 0
+    for m in _OP_RE.finditer(rest):
+        if m.start() != pos:
+            raise ElasticDslError(f"bad date-math ops {rest!r}")
+        pos = m.end()
+        if m.group(4):  # /u rounding
+            anchor = _round_date(anchor, m.group(4))
         else:
-            anchor = anchor + _dt.timedelta(seconds=n * _UNIT_SECONDS[unit])
-    if trunc:
-        if trunc == "y":
-            anchor = anchor.replace(month=1, day=1, hour=0, minute=0, second=0, microsecond=0)
-        elif trunc == "M":
-            anchor = anchor.replace(day=1, hour=0, minute=0, second=0, microsecond=0)
-        elif trunc == "w":
-            anchor = anchor - _dt.timedelta(days=anchor.weekday())
-            anchor = anchor.replace(hour=0, minute=0, second=0, microsecond=0)
-        elif trunc == "d":
-            anchor = anchor.replace(hour=0, minute=0, second=0, microsecond=0)
-        elif trunc in ("h", "H"):
-            anchor = anchor.replace(minute=0, second=0, microsecond=0)
-        elif trunc == "m":
-            anchor = anchor.replace(second=0, microsecond=0)
-        elif trunc == "s":
-            anchor = anchor.replace(microsecond=0)
+            anchor = _adjust_date(
+                anchor, int(m.group(2)) * (1 if m.group(1) == "+" else -1),
+                m.group(3))
+    if pos != len(rest):
+        raise ElasticDslError(f"bad date-math ops {rest!r}")
     return anchor
+
+
+def _adjust_date(anchor, n: int, unit: str):
+    """date_math.go:30-47 adjust(): calendar arithmetic for y/M/w/d,
+    fixed seconds for h/m/s."""
+    import calendar as _cal
+    import datetime as _dt
+
+    if unit == "M":
+        month0 = anchor.month - 1 + n
+        year, month0 = anchor.year + month0 // 12, month0 % 12
+        day = min(anchor.day, _cal.monthrange(year, month0 + 1)[1])
+        return anchor.replace(year=year, month=month0 + 1, day=day)
+    if unit == "y":
+        try:
+            return anchor.replace(year=anchor.year + n)
+        except ValueError:  # Feb 29 -> Feb 28
+            return anchor.replace(year=anchor.year + n, day=28)
+    if unit in ("w", "d"):  # AddDate days — calendar, not seconds
+        return anchor + _dt.timedelta(days=(7 * n if unit == "w" else n))
+    return anchor + _dt.timedelta(seconds=n * _UNIT_SECONDS[unit])
+
+
+def _round_date(anchor, unit: str):
+    """date_math.go:53-76 round()."""
+    import datetime as _dt
+
+    if unit == "y":
+        return anchor.replace(month=1, day=1, hour=0, minute=0,
+                              second=0, microsecond=0)
+    if unit == "M":
+        return anchor.replace(day=1, hour=0, minute=0, second=0,
+                              microsecond=0)
+    if unit == "w":
+        # the reference rounds to SUNDAY (date_math.go:62-65)
+        anchor = anchor.replace(hour=0, minute=0, second=0, microsecond=0)
+        return anchor - _dt.timedelta(days=(anchor.weekday() + 1) % 7)
+    if unit == "d":
+        return anchor.replace(hour=0, minute=0, second=0, microsecond=0)
+    if unit in ("h", "H"):
+        return anchor.replace(minute=0, second=0, microsecond=0)
+    if unit == "m":
+        return anchor.replace(second=0, microsecond=0)
+    return anchor.replace(microsecond=0)
 
 
 def _maybe_date_math(val, now):
@@ -165,13 +208,27 @@ def _field_name(field: str, schema=None) -> str:
 
 
 def _range_pred(field: str, spec: dict[str, Any], now=None,
-                schema=None) -> Column:
+                schema=None, mapping=None) -> Column:
     c = F.col(_field_name(field, schema))
-    from .qs import _schema_type
+    from .qs import _map_type, _schema_type
 
     is_ts = _schema_type(field.split("."), schema) == "timestamp"
+    tm = _map_type(field, mapping)
+    mtype = (tm or {}).get("type", "")
     pred = F.lit(True)
     ops = {"gt": c.__gt__, "gte": c.__ge__, "lt": c.__lt__, "lte": c.__le__}
+    # the legacy from/to spelling (query.go Range: from/to +
+    # include_lower/include_upper, null bound = unbounded) normalizes
+    # to gt/gte/lt/lte
+    spec = dict(spec)
+    if "from" in spec or "to" in spec:
+        lo, hi = spec.pop("from", None), spec.pop("to", None)
+        inc_lo = spec.pop("include_lower", True)
+        inc_hi = spec.pop("include_upper", True)
+        if lo is not None:
+            spec["gte" if inc_lo else "gt"] = lo
+        if hi is not None:
+            spec["lte" if inc_hi else "lt"] = hi
     seen = False
     for op, val in spec.items():
         if op in ("format", "time_zone", "boost"):
@@ -179,7 +236,12 @@ def _range_pred(field: str, spec: dict[str, Any], now=None,
         if op not in ops:
             raise ElasticDslError(f"range op {op!r} on {field!r}")
         val = _maybe_date_math(val, now)
-        if is_ts and isinstance(val, (int, float)) and not isinstance(val, bool):
+        is_num = isinstance(val, (int, float)) and not isinstance(val, bool)
+        if mtype == "unix_nano_seconds" and is_num:
+            # the proxy's TypeMapping for epoch-nanosecond fields
+            # (query_converter_test.go:84-86): numbers are nanos
+            lit = F.timestamp_micros(F.lit(int(val) // 1000))
+        elif is_ts and is_num:
             # Elastic's default date format is
             # strict_date_optional_time||epoch_millis: a bare number
             # against a date field is epoch milliseconds
@@ -215,11 +277,12 @@ def query_to_column(q: dict[str, Any] | None, now=None,
         val = spec["value"] if isinstance(spec, dict) else spec
         return F.col(_field_name(field, qs_schema)) == F.lit(val)
     if kind == "terms":
-        field, vals = next(iter(body.items()))
+        field, vals = next(
+            (k, v) for k, v in body.items() if k != "boost")
         return F.col(_field_name(field, qs_schema)).isin(list(vals))
     if kind == "range":
         field, spec = next(iter(body.items()))
-        return _range_pred(field, spec, now, qs_schema)
+        return _range_pred(field, spec, now, qs_schema, qs_mapping)
     if kind == "exists":
         return F.col(_field_name(body["field"], qs_schema)).isNotNull()
     if kind == "prefix":
@@ -256,10 +319,15 @@ def query_to_column(q: dict[str, Any] | None, now=None,
 
         return qs_to_column(body, mapping=qs_mapping, schema=qs_schema)
     if kind == "bool":
+        def _clauses(key):
+            v = body.get(key)
+            # Elastic accepts a single clause object or a list
+            return [] if v is None else (v if isinstance(v, list) else [v])
+
         pred = F.lit(True)
-        for sub in (body.get("must") or []) + (body.get("filter") or []):
+        for sub in _clauses("must") + _clauses("filter"):
             pred = pred & query_to_column(sub, now, qs_mapping, qs_schema)
-        for sub in body.get("must_not") or []:
+        for sub in _clauses("must_not"):
             # null-safe: Elastic's must_not KEEPS docs where the inner
             # predicate can't match (e.g. term on a missing field);
             # a bare `~NULL` would be NULL and drop the row
@@ -268,7 +336,7 @@ def query_to_column(q: dict[str, Any] | None, now=None,
                 F.lit(False))
             pred = pred & ~inner
         should = [query_to_column(s, now, qs_mapping, qs_schema)
-                  for s in body.get("should") or []]
+                  for s in _clauses("should")]
         if should:
             if "minimum_should_match" in body:
                 msm = body["minimum_should_match"]

@@ -145,7 +145,10 @@ def test_date_math_parsing():
     assert parse_date_math("now-7d/d", now) == dt.datetime(2024, 3, 8)
     assert parse_date_math("now+12h", now) == now + dt.timedelta(hours=12)
     assert parse_date_math("now/M", now) == dt.datetime(2024, 3, 1)
-    assert parse_date_math("now/w", now) == dt.datetime(2024, 3, 11)  # Monday
+    # the reference rounds /w to SUNDAY (date_math.go:62-65), unlike
+    # real Elastic's Monday — bug-compatible, pinned by the replay
+    # table in tests/test_replay_datemath.py
+    assert parse_date_math("now/w", now) == dt.datetime(2024, 3, 10)
     # calendar month arithmetic incl. clamping (Jan 31 + 1M -> Feb 29)
     jan31 = dt.datetime(2024, 1, 31)
     assert parse_date_math("now+1M", jan31) == dt.datetime(2024, 2, 29)
