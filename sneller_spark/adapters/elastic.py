@@ -25,13 +25,19 @@ Supported (mirroring elasticproxy's documented surface):
           (exact by default so results are oracle-checkable;
           approximate HLL when `precision_threshold` is given, like
           Elastic), stats, percentiles (exact), geo_centroid
-          (aggs_geo_centroid.go; flattened lat/lon columns);
-          bucket — terms (size, deterministic doc-count-desc/key-asc
-          order), multi_terms (composite keys, _count/_key order;
+          (aggs_geo_centroid.go; flattened lat/lon columns), and
+          `filter` sub-aggs under a bucket (FILTER-clause doc_count
+          + inner metrics in the parent's single pass — the proxy's
+          testaggs/issue-67 shape); metric aggs may also sit BESIDE
+          one bucket agg at the same level (computed over the same
+          filtered source, attached as broadcast constant columns);
+          bucket — terms (size; default doc-count-desc/key-asc order,
+          explicit _key/_count order honored, aggs_terms.go),
+          multi_terms (composite keys, _count/_key order;
           aggs_multi_terms.go), histogram (interval), date_histogram
-          (calendar_interval hour/day/month/year; fixed_interval
-          ms/s/m/h/d via TIME_BUCKET epoch bucketing,
-          aggs_date_histogram.go), filters (named
+          (calendar_interval hour/day/month/year; fixed_interval or
+          legacy `interval` ms/s/m/h/d via TIME_BUCKET epoch
+          bucketing, aggs_date_histogram.go), filters (named
           predicates -> FILTER-clause aggregates, single pass),
           filter (single named filter bucket, aggs_filter.go),
           geotile_grid (GEO_TILE_ES key + bounds pre-filter,
@@ -432,8 +438,34 @@ def _sub_metric_exprs(
 ) -> list[Column]:
     out: list[Column] = []
     for sub_name, sub_spec in (sub_aggs or {}).items():
+        if "filter" in sub_spec:
+            # a `filter` agg nested under a bucket compiles to
+            # FILTER-clause aggregates inside the same pass, exactly
+            # like the proxy (testaggs/issue-67: COUNT(*) FILTER
+            # (WHERE ...) AS "aggsN:$doc_count")
+            fpred = query_to_column(sub_spec["filter"])
+            if pred is not None:
+                fpred = pred & fpred
+            out.append(
+                F.count(F.when(fpred, F.lit(1)))
+                .alias(f"{prefix}{sub_name}_doc_count"))
+            out.extend(_sub_metric_exprs(
+                sub_spec.get("aggs"), fpred,
+                prefix=f"{prefix}{sub_name}_"))
+            continue
         out.extend(_metric_exprs(prefix + sub_name, sub_spec, pred))
     return out
+
+
+def _filter_metric_like(spec: dict[str, Any]) -> bool:
+    """True when a sub-agg is a `filter` whose own sub-aggs (if any)
+    are all metrics — compilable as FILTER-clause aggregates in the
+    parent bucket's pass rather than a nested bucket."""
+    if "filter" not in spec:
+        return False
+    return not any(
+        set(v) & _BUCKET_KINDS for v in (spec.get("aggs") or {}).values()
+    )
 
 
 _CAL_INTERVALS = {
@@ -514,7 +546,10 @@ def _date_hist_key(body: dict[str, Any], alias: str) -> Column:
     fixed intervals epoch-bucket like the reference's translation to
     TIME_BUCKET(field, seconds) (aggs_date_histogram.go — e.g. Kibana's
     fixed_interval "10d" becomes TIME_BUCKET(ts, 864000))."""
-    iv = body.get("calendar_interval") or body.get("fixed_interval")
+    # legacy `interval` (pre-7.x Elastic, still emitted by clients —
+    # testaggs/issue-67 uses interval "86400s") acts as fixed
+    iv = (body.get("calendar_interval") or body.get("fixed_interval")
+          or body.get("interval"))
     unit = _CAL_INTERVALS.get(iv)
     if unit is not None:
         return F.date_trunc(unit, F.col(body["field"])).alias(alias)
@@ -668,17 +703,30 @@ def aggs_to_df(df: DataFrame, aggs: dict[str, Any]) -> DataFrame:
     level (with optional metric sub-aggs; a terms/histogram/
     date_histogram bucket may instead hold ONE nested bucket agg) or a
     flat set of metric aggs."""
-    bucket_items = [(n, s) for n, s in aggs.items() if set(s) & _BUCKET_KINDS]
+    bucket_items = [
+        (n, s) for n, s in aggs.items()
+        if set(s) & _BUCKET_KINDS and not _filter_metric_like(s)
+        or "filter" in s  # top-level filter stays a bucket
+    ]
     if not bucket_items:
         return df.agg(*_sub_metric_exprs(aggs))
     if len(bucket_items) > 1:
         raise ElasticDslError("one bucket agg per level (like elasticproxy)")
     name, spec = bucket_items[0]
+    # metric aggs beside the bucket at the same level (testaggs/
+    # avg-filter-combined1) compute over the same filtered source in
+    # one extra aggregate and attach as constant columns
+    side = {
+        n: s for n, s in aggs.items()
+        if n != name and not set(s) & (_BUCKET_KINDS | _PIPELINE_KINDS)
+    }
+    side_df = df.agg(*_sub_metric_exprs(side)) if side else None
     sub = {k: v for k, v in spec.items() if k == "aggs"}.get("aggs")
     kind = next(k for k in spec if k in _BUCKET_KINDS)
     body = spec[kind]
     nested = [
-        (n, s) for n, s in (sub or {}).items() if set(s) & _BUCKET_KINDS
+        (n, s) for n, s in (sub or {}).items()
+        if set(s) & _BUCKET_KINDS and not _filter_metric_like(s)
     ]
     if nested:
         if kind not in ("terms", "histogram", "date_histogram") or len(nested) > 1:
@@ -707,6 +755,9 @@ def aggs_to_df(df: DataFrame, aggs: dict[str, Any]) -> DataFrame:
     metrics = _sub_metric_exprs(sub)
 
     def _finish(out: DataFrame) -> DataFrame:
+        if side_df is not None:
+            # 1-row metrics attach as constant columns (broadcast)
+            out = out.crossJoin(F.broadcast(side_df))
         return _apply_pipeline_aggs(out, pipeline) if pipeline else out
 
     if kind == "multi_terms":
@@ -747,8 +798,20 @@ def aggs_to_df(df: DataFrame, aggs: dict[str, Any]) -> DataFrame:
         out = df.groupBy(F.col(body["field"]).alias("key")).agg(
             F.count(F.lit(1)).alias("doc_count"), *metrics
         )
-        # Elastic order: doc_count desc, key asc (deterministic)
-        return _finish(out.orderBy(F.desc("doc_count"), F.asc("key")).limit(size))
+        # Elastic default order: doc_count desc, key asc; an explicit
+        # `order` of _count/_key overrides (aggs_terms.go; testaggs/
+        # issue-54 pins {_key: asc})
+        order = body.get("order") or {"_count": "desc"}
+        if isinstance(order, list):
+            order = {k: v for d in order for k, v in d.items()}
+        sort_exprs = []
+        for k, v in order.items():
+            col = {"_count": "doc_count", "_key": "key"}.get(k)
+            if col is None:
+                raise ElasticDslError(f"unsupported terms order key {k!r}")
+            sort_exprs.append(F.desc(col) if v == "desc" else F.asc(col))
+        sort_exprs.append(F.asc("key"))  # deterministic tiebreak
+        return _finish(out.orderBy(*sort_exprs).limit(size))
     if kind == "histogram":
         interval = float(body["interval"])
         key = (F.floor(F.col(body["field"]) / interval) * interval).alias("key")

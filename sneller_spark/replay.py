@@ -817,7 +817,7 @@ def _rewrite_having_window(sql: str) -> str:
     9999-regressions/regress-2493.test) → window column + outer filter;
     Spark forbids window functions inside HAVING."""
     m = re.search(
-        r"\bHAVING\s+(ROW_NUMBER\s*\(\s*\)\s*OVER\s*)\(", sql,
+        r"\bHAVING\s+(\(\s*)?ROW_NUMBER\s*\(\s*\)\s*OVER\s*\(", sql,
         flags=re.IGNORECASE,
     )
     if not m:
@@ -827,7 +827,11 @@ def _rewrite_having_window(sql: str) -> str:
     if wclose == -1:
         return sql
     win = sql[wopen : wclose + 1]
-    km = re.match(r"\s*<=\s*(\d+)", sql[wclose + 1 :])
+    # the comparison may be wrapped: HAVING (ROW_NUMBER() OVER (w) <= k)
+    km = re.match(
+        r"\s*<=\s*(\d+)" + (r"\s*\)" if m.group(1) else ""),
+        sql[wclose + 1 :],
+    )
     if not km:
         return sql
     k = km.group(1)
