@@ -14,13 +14,20 @@ down, aggregates are two-phase, `filters` buckets become FILTER-clause
 aggregates evaluated in ONE pass.
 
 Supported (mirroring elasticproxy's documented surface):
-  query:  match_all, term, terms, range (gt/gte/lt/lte), exists,
-          prefix, wildcard, match (substring, case-insensitive — no
+  query:  match_all, match_none, term, terms, range (gt/gte/lt/lte
+          and the legacy from/to/include_* spelling), exists, prefix,
+          wildcard, match (substring, case-insensitive — no
           scoring/analysis, like the proxy), match_phrase (strict
           equality for every type, query.go:276-281), bool (must/
-          filter/should/must_not), query_string (Lucene search-bar
-          syntax via adapters.qs — lexer/grammar/typed-field
-          semantics from qs_lexer.rl + qs_parser.y + qs.go)
+          filter/should/must_not; object or list clause forms),
+          constant_score (its filter; scoring dropped like the
+          proxy), geo_bounding_box (corner comparisons on .lat/.lon
+          struct fields, query.go:287-307), query_string (Lucene
+          search-bar syntax via adapters.qs — lexer/grammar/
+          typed-field semantics from qs_lexer.rl + qs_parser.y +
+          qs.go) — the proxy's full supported set (query.go:120-122)
+  hits:   sort, size, `from` offset pagination, _source projection
+          (_source: false keeps all columns)
   aggs:   metric — avg, sum, min, max, value_count, cardinality
           (exact by default so results are oracle-checkable;
           approximate HLL when `precision_threshold` is given, like
@@ -316,6 +323,34 @@ def query_to_column(q: dict[str, Any] | None, now=None,
         field, spec = next(iter(body.items()))
         val = spec["query"] if isinstance(spec, dict) else spec
         return F.col(_field_name(field, qs_schema)) == F.lit(val)
+    if kind == "match_none":
+        return F.lit(False)
+    if kind == "constant_score":
+        # scoring is out of scope (like the proxy, query.go:259-269):
+        # constant_score is just its filter
+        filt = body.get("filter")
+        if filt is None:
+            return F.lit(True)
+        clauses = filt if isinstance(filt, list) else [filt]
+        pred = F.lit(True)
+        for sub in clauses:
+            pred = pred & query_to_column(sub, now, qs_mapping, qs_schema)
+        return pred
+    if kind == "geo_bounding_box":
+        # query.go:287-307: per-field lat/lon comparisons against the
+        # top_left / bottom_right corners (fields are structs with
+        # .lat/.lon like the geotile aggs)
+        pred = F.lit(True)
+        for field, bounds in body.items():
+            if field in ("type", "ignore_unmapped"):
+                continue
+            tl, br = bounds["top_left"], bounds["bottom_right"]
+            lat, lon = F.col(f"{field}.lat"), F.col(f"{field}.lon")
+            pred = (pred & (lat <= F.lit(tl["lat"]))
+                    & (lon >= F.lit(tl["lon"]))
+                    & (lat >= F.lit(br["lat"]))
+                    & (lon <= F.lit(br["lon"])))
+        return pred
     if kind == "query_string":
         # Lucene search-bar syntax (reference: elasticproxy/
         # elastic-proxy/qs_lexer.rl + qs_parser.y + qs.go) — parsed
@@ -900,8 +935,12 @@ def elastic_search(df: DataFrame, body: dict[str, Any], now=None,
             sort_exprs.append(F.desc(field) if order == "desc" else F.asc(field))
     if sort_exprs:
         out = out.orderBy(*sort_exprs)
-    if "_source" in body:
+    if "_source" in body and body["_source"] is not False:
         out = out.select(*body["_source"])
+    if body.get("from"):
+        # hits pagination (testdata-news/pagination-from): skip the
+        # first `from` hits of the sorted result
+        out = out.offset(int(body["from"]))
     if "size" in body:
         out = out.limit(int(body["size"]))
     return out

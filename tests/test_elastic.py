@@ -471,3 +471,51 @@ def test_top_hits_sort_on_bucket_field_itself(ev):
     got = elastic_search(ev, body).toPandas()
     assert list(got.columns) == ["key", "doc_count", "hit_rank", "id"]
     assert list(got["id"]) == [3, 6]  # clicks by score desc
+
+
+def test_match_none_and_constant_score(ev):
+    """query.go: match_none -> FALSE; constant_score -> its filter
+    (scoring dropped, like the proxy)."""
+    assert _ids(ev.filter(query_to_column({"match_none": {}}))) == []
+    got = _ids(ev.filter(query_to_column({"constant_score": {
+        "filter": {"term": {"kind": "click"}}, "boost": 1.2}})))
+    assert got == [1, 3, 6]
+    # list-form filter (the proxy's andQueries) ANDs
+    got = _ids(ev.filter(query_to_column({"constant_score": {
+        "filter": [{"term": {"kind": "click"}},
+                   {"range": {"score": {"gte": 50}}}]}})))
+    assert got == [3, 6]
+
+
+def test_geo_bounding_box(spark):
+    """query.go:287-307: per-field lat/lon corner comparisons."""
+    df = spark.createDataFrame(
+        [(1, {"lat": 40.7, "lon": -74.0}),   # NYC — inside
+         (2, {"lat": 34.0, "lon": -118.2}),  # LA — west of box
+         (3, {"lat": 25.7, "lon": -80.2}),   # Miami — south of box
+         (4, {"lat": 41.9, "lon": -87.6})],  # Chicago — inside
+        "id int, loc struct<lat:double,lon:double>")
+    got = sorted(r["id"] for r in df.filter(query_to_column(
+        {"geo_bounding_box": {"loc": {
+            "top_left": {"lat": 45.0, "lon": -90.0},
+            "bottom_right": {"lat": 30.0, "lon": -70.0}}}}
+    )).collect())
+    assert got == [1, 4]
+
+
+def test_hits_from_pagination(ev):
+    """`from` skips hits after the sort (testdata-news corpus shape)."""
+    out = elastic_search(ev, {
+        "query": {"match_all": {}},
+        "sort": [{"id": {"order": "asc"}}],
+        "from": 2, "size": 2,
+        "_source": ["id"],
+    })
+    assert [r["id"] for r in out.collect()] == [3, 4]
+    # _source: false keeps all columns (the proxy returns fields via
+    # the `fields` API instead)
+    out = elastic_search(ev, {
+        "query": {"match_all": {}}, "_source": False, "size": 1,
+        "sort": [{"id": {"order": "asc"}}],
+    })
+    assert out.columns == ["id", "kind", "score", "tag"]
