@@ -609,6 +609,24 @@ def _bucket_key_col(kind: str, body: dict[str, Any], alias: str) -> Column:
     raise ElasticDslError(f"unsupported nested bucket kind {kind!r}")
 
 
+def _terms_order(body: dict[str, Any], count_col: str,
+                 key_col: str) -> list[Column]:
+    """Sort expressions for a terms bucket: explicit _count/_key
+    order when given, else Elastic's default (count desc), always
+    with the key as deterministic tiebreak."""
+    order = body.get("order") or {"_count": "desc"}
+    if isinstance(order, list):
+        order = {k: v for d in order for k, v in d.items()}
+    exprs: list[Column] = []
+    for k, v in order.items():
+        col = {"_count": count_col, "_key": key_col}.get(k)
+        if col is None:
+            raise ElasticDslError(f"unsupported terms order key {k!r}")
+        exprs.append(F.desc(col) if v == "desc" else F.asc(col))
+    exprs.append(F.asc(key_col))
+    return exprs
+
+
 def _nested_bucket_df(
     df: DataFrame,
     outer_kind: str,
@@ -646,13 +664,14 @@ def _nested_bucket_df(
         "doc_count", F.sum(icnt).over(Window.partitionBy("key"))
     )
     if outer_kind == "terms":
-        # outer bucket order/cap: Elastic terms order (doc_count desc,
-        # key asc); dense_rank over that pair ranks each outer bucket
+        # outer bucket order/cap: Elastic terms default (doc_count
+        # desc, key asc), explicit _key/_count `order` honored (the
+        # venkat-keyorder dashboard shape); dense_rank over the order
+        # ranks each outer bucket
         out = out.withColumn(
             "_orank",
-            F.dense_rank().over(
-                Window.orderBy(F.desc("doc_count"), F.asc("key"))
-            ),
+            F.dense_rank().over(Window.orderBy(
+                *_terms_order(outer_body, "doc_count", "key"))),
         ).filter(F.col("_orank") <= int(outer_body.get("size", 10)))
         outer_sort = [F.asc("_orank")]
     else:
@@ -660,8 +679,9 @@ def _nested_bucket_df(
         # key directly (no global rank window needed)
         outer_sort = [F.asc("key")]
     inner_size = int(inner_body.get("size", 10)) if inner_kind == "terms" else None
-    order_inner = [F.desc(icnt), F.asc(f"{inner_name}_key")] if inner_kind == "terms" \
-        else [F.asc(f"{inner_name}_key")]
+    order_inner = (_terms_order(inner_body, icnt, f"{inner_name}_key")
+                   if inner_kind == "terms"
+                   else [F.asc(f"{inner_name}_key")])
     out = out.withColumn(
         "_irank",
         F.row_number().over(Window.partitionBy("key").orderBy(*order_inner)),
@@ -836,17 +856,9 @@ def aggs_to_df(df: DataFrame, aggs: dict[str, Any]) -> DataFrame:
         # Elastic default order: doc_count desc, key asc; an explicit
         # `order` of _count/_key overrides (aggs_terms.go; testaggs/
         # issue-54 pins {_key: asc})
-        order = body.get("order") or {"_count": "desc"}
-        if isinstance(order, list):
-            order = {k: v for d in order for k, v in d.items()}
-        sort_exprs = []
-        for k, v in order.items():
-            col = {"_count": "doc_count", "_key": "key"}.get(k)
-            if col is None:
-                raise ElasticDslError(f"unsupported terms order key {k!r}")
-            sort_exprs.append(F.desc(col) if v == "desc" else F.asc(col))
-        sort_exprs.append(F.asc("key"))  # deterministic tiebreak
-        return _finish(out.orderBy(*sort_exprs).limit(size))
+        return _finish(
+            out.orderBy(*_terms_order(body, "doc_count", "key"))
+            .limit(size))
     if kind == "histogram":
         interval = float(body["interval"])
         key = (F.floor(F.col(body["field"]) / interval) * interval).alias("key")

@@ -519,3 +519,23 @@ def test_hits_from_pagination(ev):
         "sort": [{"id": {"order": "asc"}}],
     })
     assert out.columns == ["id", "kind", "score", "tag"]
+
+
+def test_nested_terms_key_order(spark):
+    """Both levels of a nested terms/terms agg honor explicit _key
+    order (the proxy's venkat-keyorder dashboard shape)."""
+    df = spark.createDataFrame(
+        [("NL", "DE"), ("NL", "BE"), ("NL", "DE"),
+         ("AU", "NZ"), ("AU", "JP"), ("US", "CA")],
+        "origin string, dest string")
+    body = {"aggs": {"0": {
+        "terms": {"field": "origin", "order": {"_key": "asc"}, "size": 2},
+        "aggs": {"1": {"terms": {"field": "dest",
+                                 "order": {"_key": "asc"}, "size": 3}}},
+    }}}
+    rows = [(r["key"], r["1_key"], r["1_doc_count"])
+            for r in elastic_search(df, body).collect()]
+    # _key asc keeps AU+NL (size 2 by key order, NOT by count), with
+    # inner dests key-ordered
+    assert rows == [("AU", "JP", 1), ("AU", "NZ", 1),
+                    ("NL", "BE", 1), ("NL", "DE", 2)]
