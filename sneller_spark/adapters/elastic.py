@@ -470,7 +470,13 @@ def _sub_metric_exprs(
     sub_aggs: dict[str, Any] | None,
     pred: Column | None = None,
     prefix: str = "",
+    ctx: tuple | None = None,
 ) -> list[Column]:
+    """`ctx` is the (now, qs_mapping, schema) triple threaded from
+    elastic_search so nested `filter` predicates resolve date-math
+    anchors, typed range bounds, and .keyword fields the same way
+    top-level queries do."""
+    now, qs_mapping, schema = ctx or (None, None, None)
     out: list[Column] = []
     for sub_name, sub_spec in (sub_aggs or {}).items():
         if "filter" in sub_spec:
@@ -478,7 +484,8 @@ def _sub_metric_exprs(
             # FILTER-clause aggregates inside the same pass, exactly
             # like the proxy (testaggs/issue-67: COUNT(*) FILTER
             # (WHERE ...) AS "aggsN:$doc_count")
-            fpred = query_to_column(sub_spec["filter"])
+            fpred = query_to_column(
+                sub_spec["filter"], now, qs_mapping, schema)
             if pred is not None:
                 fpred = pred & fpred
             out.append(
@@ -486,7 +493,7 @@ def _sub_metric_exprs(
                 .alias(f"{prefix}{sub_name}_doc_count"))
             out.extend(_sub_metric_exprs(
                 sub_spec.get("aggs"), fpred,
-                prefix=f"{prefix}{sub_name}_"))
+                prefix=f"{prefix}{sub_name}_", ctx=ctx))
             continue
         out.extend(_metric_exprs(prefix + sub_name, sub_spec, pred))
     return out
@@ -633,6 +640,7 @@ def _nested_bucket_df(
     outer_body: dict[str, Any],
     inner_name: str,
     inner_spec: dict[str, Any],
+    ctx: tuple | None = None,
 ) -> DataFrame:
     """Bucket agg containing a nested bucket agg (the reference
     proxy's aggsGenerateContext nesting — elasticproxy/elastic-proxy/
@@ -654,7 +662,7 @@ def _nested_bucket_df(
     if inner_kind in ("filters", "multi_terms"):
         raise ElasticDslError(f"nested {inner_kind} buckets unsupported")
     inner_body = inner_spec[inner_kind]
-    metrics = _sub_metric_exprs(inner_spec.get("aggs"))
+    metrics = _sub_metric_exprs(inner_spec.get("aggs"), ctx=ctx)
     okey = _bucket_key_col(outer_kind, outer_body, "key")
     ikey = _bucket_key_col(inner_kind, inner_body, f"{inner_name}_key")
     icnt = f"{inner_name}_doc_count"
@@ -753,18 +761,22 @@ def _top_hits_df(
     )
 
 
-def aggs_to_df(df: DataFrame, aggs: dict[str, Any]) -> DataFrame:
+def aggs_to_df(df: DataFrame, aggs: dict[str, Any], now=None,
+               qs_mapping: dict[str, dict] | None = None) -> DataFrame:
     """Translate an `aggs` object.  Exactly one bucket agg per nesting
     level (with optional metric sub-aggs; a terms/histogram/
     date_histogram bucket may instead hold ONE nested bucket agg) or a
-    flat set of metric aggs."""
+    flat set of metric aggs.  `now`/`qs_mapping` thread into nested
+    filter predicates (date math, typed ranges) with df's schema."""
+    ctx = (now, qs_mapping,
+           df.schema if df is not None else None)
     bucket_items = [
         (n, s) for n, s in aggs.items()
         if set(s) & _BUCKET_KINDS and not _filter_metric_like(s)
         or "filter" in s  # top-level filter stays a bucket
     ]
     if not bucket_items:
-        return df.agg(*_sub_metric_exprs(aggs))
+        return df.agg(*_sub_metric_exprs(aggs, ctx=ctx))
     if len(bucket_items) > 1:
         raise ElasticDslError("one bucket agg per level (like elasticproxy)")
     name, spec = bucket_items[0]
@@ -775,7 +787,7 @@ def aggs_to_df(df: DataFrame, aggs: dict[str, Any]) -> DataFrame:
         n: s for n, s in aggs.items()
         if n != name and not set(s) & (_BUCKET_KINDS | _PIPELINE_KINDS)
     }
-    side_df = df.agg(*_sub_metric_exprs(side)) if side else None
+    side_df = df.agg(*_sub_metric_exprs(side, ctx=ctx)) if side else None
     sub = {k: v for k, v in spec.items() if k == "aggs"}.get("aggs")
     kind = next(k for k in spec if k in _BUCKET_KINDS)
     body = spec[kind]
@@ -794,20 +806,26 @@ def aggs_to_df(df: DataFrame, aggs: dict[str, Any]) -> DataFrame:
                 "metric sub-aggs beside a nested bucket unsupported "
                 "(put them on the inner level)"
             )
-        return _nested_bucket_df(df, kind, body, *nested[0])
+        out = _nested_bucket_df(df, kind, body, *nested[0], ctx=ctx)
+        if side_df is not None:
+            out = out.crossJoin(F.broadcast(side_df))
+        return out
     hits = [(n, s["top_hits"]) for n, s in (sub or {}).items() if "top_hits" in s]
     if hits:
         if kind != "terms" or len(hits) > 1 or len(sub) > 1:
             raise ElasticDslError(
                 "top_hits: exactly one, as the only sub-agg of a terms bucket"
             )
-        return _top_hits_df(df, body, *hits[0])
+        out = _top_hits_df(df, body, *hits[0])
+        if side_df is not None:
+            out = out.crossJoin(F.broadcast(side_df))
+        return out
     pipeline = {
         n: s for n, s in (sub or {}).items() if set(s) & _PIPELINE_KINDS
     }
     if pipeline:
         sub = {n: s for n, s in sub.items() if n not in pipeline} or None
-    metrics = _sub_metric_exprs(sub)
+    metrics = _sub_metric_exprs(sub, ctx=ctx)
 
     def _finish(out: DataFrame) -> DataFrame:
         if side_df is not None:
@@ -876,19 +894,20 @@ def aggs_to_df(df: DataFrame, aggs: dict[str, Any]) -> DataFrame:
         # named predicate buckets -> conditional aggregates, ONE scan
         exprs: list[Column] = []
         for bname, bq in body["filters"].items():
-            pred = query_to_column(bq)
+            pred = query_to_column(bq, now, qs_mapping, df.schema)
             exprs.append(F.count(F.when(pred, 1)).alias(f"{bname}_doc_count"))
-            exprs.extend(_sub_metric_exprs(sub, pred, prefix=f"{bname}_"))
+            exprs.extend(_sub_metric_exprs(
+                sub, pred, prefix=f"{bname}_", ctx=ctx))
         return _finish(df.agg(*exprs))
     if kind == "filter":
         # SINGLE named filter bucket (aggs_filter.go): doc_count over
         # matching rows + sub-aggs restricted to them — conditional
         # aggregates, one scan, same discipline as `filters`
-        pred = query_to_column(body)
+        pred = query_to_column(body, now, qs_mapping, df.schema)
         return _finish(
             df.agg(
                 F.count(F.when(pred, 1)).alias("doc_count"),
-                *_sub_metric_exprs(sub, pred),
+                *_sub_metric_exprs(sub, pred, ctx=ctx),
             )
         )
     if kind == "geotile_grid":
@@ -933,7 +952,8 @@ def elastic_search(df: DataFrame, body: dict[str, Any], now=None,
     out = df.filter(
         query_to_column(body.get("query"), now, qs_mapping, df.schema))
     if "aggs" in body or "aggregations" in body:
-        return aggs_to_df(out, body.get("aggs") or body["aggregations"])
+        return aggs_to_df(out, body.get("aggs") or body["aggregations"],
+                          now, qs_mapping)
     # Elastic sort is lexicographic over the listed keys (first key
     # primary); collect every key into ONE orderBy — chained orderBy
     # calls would each REPLACE the previous sort
@@ -947,8 +967,12 @@ def elastic_search(df: DataFrame, body: dict[str, Any], now=None,
             sort_exprs.append(F.desc(field) if order == "desc" else F.asc(field))
     if sort_exprs:
         out = out.orderBy(*sort_exprs)
-    if "_source" in body and body["_source"] is not False:
-        out = out.select(*body["_source"])
+    src = body.get("_source")
+    if isinstance(src, str):  # Elastic accepts a bare field name
+        out = out.select(src)
+    elif isinstance(src, list):
+        out = out.select(*src)
+    # _source true/false/absent: keep all columns
     if body.get("from"):
         # hits pagination (testdata-news/pagination-from): skip the
         # first `from` hits of the sorted result

@@ -81,8 +81,8 @@ _TOKEN_RES: list[tuple[str, re.Pattern[str]]] = [
     (
         "ALPHA",
         re.compile(
-            r"(?:\\.|" + _cc(_START_RESERVED) + r")"
-            r"(?:\\.|" + _cc(_RESERVED) + r")*",
+            r"(?:\\&&|\\\|\||\\.|" + _cc(_START_RESERVED) + r")"
+            r"(?:\\&&|\\\|\||\\.|" + _cc(_RESERVED) + r")*",
             re.DOTALL,
         ),
     ),
@@ -109,11 +109,17 @@ def tokenize(query: str) -> list[tuple[str, Any]]:
         if best_kind == "WS":
             continue
         if best_kind == "ALPHA":
-            toks.append(("ALPHA", re.sub(r"\\(.)", r"\1", best_text)))
+            # the reference strips EVERY backslash from the unquoted
+            # token (qs_lexer.rl:141 ReplaceAll) — escaping a literal
+            # * or ? is only possible inside quotes
+            toks.append(("ALPHA", best_text.replace("\\", "")))
         elif best_kind == "QUOTED":
-            toks.append(("QUOTED", best_text[1:-1].replace('\\"', '"')))
+            # quoted/regex tokens keep their inner text VERBATIM
+            # (tokenStripped only drops the delimiters) — backslash
+            # escapes survive into wildcard/regex translation
+            toks.append(("QUOTED", best_text[1:-1]))
         elif best_kind == "REGEX":
-            toks.append(("REGEX", best_text[1:-1].replace("\\/", "/")))
+            toks.append(("REGEX", best_text[1:-1]))
         elif best_kind == "INT":
             toks.append(("INT", int(best_text)))
         elif best_kind == "FLOAT":
@@ -207,6 +213,11 @@ def combine(default_op: str, exprs: list[Any]) -> Any:
                 op = e.op
                 e = e.expr
             expr = e if expr is None else QSExpr2(op, expr, e)
+    if expr is None:
+        # a group of only |terms combines to nothing (the reference
+        # returns nil here and would crash downstream; reject cleanly)
+        raise QSParseError(
+            "query_string: group contains only |should terms")
     return expr
 
 
@@ -281,9 +292,7 @@ class _Parser:
                 self.i += 1  # boost is parsed and dropped
             return e
         terms = [self.parse_term()]
-        while self.peek() in _TERM_STARTS or (
-            self.peek() == "ALPHA" and self.peek(1) == "COLON"
-        ):
+        while self.peek() in _TERM_STARTS:
             terms.append(self.parse_term())
         return combine(self.default_op, terms)
 
@@ -578,9 +587,15 @@ def _field_to_column(
             return F.lower(col) == F.lit(e.value.lower())
         if ftype == "contains":
             return col.rlike("(?i)" + _translate_wildcard_regex(e.value))
-        # "" / "text": case-insensitive whole-word match
-        rx = "(^|[ \t])(?i)" + _translate_wildcard_regex(e.value) + "([ \t]|$)"
-        return col.rlike(rx)
+        if ftype in ("", "text"):
+            # case-insensitive whole-word match
+            rx = ("(^|[ \t])(?i)" + _translate_wildcard_regex(e.value)
+                  + "([ \t]|$)")
+            return col.rlike(rx)
+        # any other mapped type (e.g. datetime): the reference's
+        # '=' switch has no case, so the comparison literal stays nil
+        # — `field = NULL`, matching nothing (qs.go:257-340)
+        return col == F.lit(None)
 
     if e.vtype == REGEXV:
         if e.op != "=":

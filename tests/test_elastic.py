@@ -539,3 +539,61 @@ def test_nested_terms_key_order(spark):
     # inner dests key-ordered
     assert rows == [("AU", "JP", 1), ("AU", "NZ", 1),
                     ("NL", "BE", 1), ("NL", "DE", 2)]
+
+
+def test_filter_subagg_threads_now_and_mapping(spark):
+    """Nested filter predicates resolve date-math anchors and typed
+    range bounds exactly like top-level queries (review finding)."""
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [(1, "2024-03-10T00:00:00", "a"), (2, "2024-03-14T00:00:00", "a"),
+         (3, "2024-02-01T00:00:00", "b")],
+        "id int, ts string, g string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    now = dt.datetime(2024, 3, 15)
+    body = {"aggs": {"by_g": {
+        "terms": {"field": "g"},
+        "aggs": {"recent": {"filter": {
+            "range": {"ts": {"gte": "now-7d"}}}}},
+    }}}
+    rows = {r["key"]: (r["doc_count"], r["recent_doc_count"])
+            for r in elastic_search(df, body, now=now).collect()}
+    # pinned now: only ids 1,2 are within 7 days; id 3 is not
+    assert rows == {"a": (2, 2), "b": (1, 0)}
+
+
+def test_source_scalar_forms(ev):
+    """_source accepts true/false/bare-string per the Elastic API."""
+    base = {"query": {"match_all": {}}, "size": 1,
+            "sort": [{"id": {"order": "asc"}}]}
+    assert elastic_search(ev, dict(base, _source=True)).columns == \
+        ["id", "kind", "score", "tag"]
+    assert elastic_search(ev, dict(base, _source="kind")).columns == \
+        ["kind"]
+    assert elastic_search(ev, dict(base, _source=False)).columns == \
+        ["id", "kind", "score", "tag"]
+
+
+def test_side_metrics_attach_on_nested_and_top_hits(spark):
+    """Metrics beside a bucket survive the nested-bucket and top_hits
+    paths too (review finding: they were silently dropped)."""
+    df = spark.createDataFrame(
+        [("a", "x", 1.0), ("a", "y", 2.0), ("b", "x", 3.0)],
+        "g string, h string, v double")
+    nested = {"aggs": {
+        "outer": {"terms": {"field": "g"},
+                  "aggs": {"inner": {"terms": {"field": "h"}}}},
+        "overall": {"avg": {"field": "v"}},
+    }}
+    out = elastic_search(df, nested)
+    assert "overall" in out.columns
+    assert all(abs(r["overall"] - 2.0) < 1e-9 for r in out.collect())
+    hits = {"aggs": {
+        "outer": {"terms": {"field": "g"},
+                  "aggs": {"top": {"top_hits": {
+                      "size": 1, "sort": [{"v": {"order": "desc"}}]}}}},
+        "overall": {"avg": {"field": "v"}},
+    }}
+    out = elastic_search(df, hits)
+    assert "overall" in out.columns

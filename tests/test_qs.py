@@ -46,10 +46,16 @@ def test_annotations_and_literals():
     assert qs.tokenize("foo~") == [("ALPHA", "foo"), ("FUZZY", -1.0)]
     assert qs.tokenize("foo~12") == [("ALPHA", "foo"), ("FUZZY", 12.0)]
     assert qs.tokenize("foo^3.5") == [("ALPHA", "foo"), ("BOOST", 3.5)]
-    assert qs.tokenize(r"/a\/b/") == [("REGEX", "a/b")]
-    assert qs.tokenize(r'"a\"b"') == [("QUOTED", 'a"b')]
-    # escaped reserved chars join the unquoted word, unescaped
+    # quoted/regex keep their inner text verbatim (the reference's
+    # tokenStripped drops only the delimiters)
+    assert qs.tokenize(r"/a\/b/") == [("REGEX", r"a\/b")]
+    assert qs.tokenize(r'"a\"b"') == [("QUOTED", r'a\"b')]
+    # escaped reserved chars join the unquoted word; the reference
+    # strips EVERY backslash from the token (qs_lexer.rl:141)
     assert qs.tokenize(r"f\:x") == [("ALPHA", "f:x")]
+    assert qs.tokenize(r"a\&&b") == [("ALPHA", "a&&b")]
+    assert qs.tokenize(r"a\||b") == [("ALPHA", "a||b")]
+    assert qs.tokenize("a" + "\\" * 4 + "b") == [("ALPHA", "ab")]
     assert qs.tokenize("a.b:c") == [
         ("ALPHA", "a"), ("DOT", "."), ("ALPHA", "b"),
         ("COLON", ":"), ("ALPHA", "c"),
