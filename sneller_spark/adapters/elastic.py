@@ -204,6 +204,24 @@ def _maybe_date_math(val, now):
 # query -> Column predicate
 # ---------------------------------------------------------------------
 
+
+def _geo_point(v) -> tuple[float, float]:
+    """Normalize an Elastic geo-point to (lat, lon).  The proxy's
+    geoPoint (geo_helpers.go:30-71) accepts the [lon, lat] array and
+    'POINT (lon lat)' WKT forms; the {lat:, lon:} object is the
+    common Kibana spelling."""
+    if isinstance(v, dict):
+        return float(v["lat"]), float(v["lon"])
+    if isinstance(v, (list, tuple)) and len(v) == 2:
+        return float(v[1]), float(v[0])
+    if isinstance(v, str):
+        m = re.fullmatch(
+            r"POINT\s*\(\s*(-?[0-9.]+)\s+(-?[0-9.]+)\s*\)", v.strip())
+        if m:
+            return float(m.group(2)), float(m.group(1))
+    raise ElasticDslError(f"bad geo-point {v!r}")
+
+
 def _field_name(field: str, schema=None) -> str:
     """Resolve an Elastic field path: a trailing `.keyword` that does
     not itself resolve in the schema is the default keyword subfield
@@ -344,12 +362,13 @@ def query_to_column(q: dict[str, Any] | None, now=None,
         for field, bounds in body.items():
             if field in ("type", "ignore_unmapped"):
                 continue
-            tl, br = bounds["top_left"], bounds["bottom_right"]
+            tl_lat, tl_lon = _geo_point(bounds["top_left"])
+            br_lat, br_lon = _geo_point(bounds["bottom_right"])
             lat, lon = F.col(f"{field}.lat"), F.col(f"{field}.lon")
-            pred = (pred & (lat <= F.lit(tl["lat"]))
-                    & (lon >= F.lit(tl["lon"]))
-                    & (lat >= F.lit(br["lat"]))
-                    & (lon <= F.lit(br["lon"])))
+            pred = (pred & (lat <= F.lit(tl_lat))
+                    & (lon >= F.lit(tl_lon))
+                    & (lat >= F.lit(br_lat))
+                    & (lon <= F.lit(br_lon)))
         return pred
     if kind == "query_string":
         # Lucene search-bar syntax (reference: elasticproxy/
@@ -924,11 +943,11 @@ def aggs_to_df(df: DataFrame, aggs: dict[str, Any], now=None,
         src_df = df
         if "bounds" in body:
             b = body["bounds"]
+            tl_lat, tl_lon = _geo_point(b["top_left"])
+            br_lat, br_lon = _geo_point(b["bottom_right"])
             src_df = df.filter(
-                (lat <= F.lit(b["top_left"]["lat"]))
-                & (lon >= F.lit(b["top_left"]["lon"]))
-                & (lat >= F.lit(b["bottom_right"]["lat"]))
-                & (lon <= F.lit(b["bottom_right"]["lon"]))
+                (lat <= F.lit(tl_lat)) & (lon >= F.lit(tl_lon))
+                & (lat >= F.lit(br_lat)) & (lon <= F.lit(br_lon))
             )
         # Elastic skips docs missing the geo field; without this filter
         # a NULL lat/lon would land in a bogus truncated bucket because

@@ -215,14 +215,15 @@ def split_with(sql: str) -> list[tuple[str, str]]:
 
 
 def _bucket_sql(ctes: list[tuple[str, str]], target: str,
-                cols: list[str]) -> str:
+                cols: list[str], view: str = _VIEW) -> str:
     """Rebuild a runnable query: the full CTE chain (with the source
-    table pointed at our view) + an explicit projection of `cols`
+    table pointed at `view`) + an explicit projection of `cols`
     from the target bucket CTE."""
     parts = []
     for name, body in ctes:
-        body = body.replace('"test"."sample_flights"', _VIEW)
-        body = body.replace('"table"', _VIEW)
+        body = body.replace('"test"."sample_flights"', view)
+        body = body.replace('"test"."news"', view)
+        body = body.replace('"table"', view)
         # issue-54 wraps the bucket in a Sneller relation->array
         # constructor `SELECT [( ... )]`; the array packaging is
         # response assembly — run the inner relation
