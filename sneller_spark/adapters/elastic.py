@@ -647,8 +647,19 @@ def _terms_order(body: dict[str, Any], count_col: str,
     for k, v in order.items():
         col = {"_count": count_col, "_key": key_col}.get(k)
         if col is None:
-            raise ElasticDslError(f"unsupported terms order key {k!r}")
+            # Kibana emits sub-agg metric paths as order keys (e.g.
+            # {"2.50": "desc"} = sub-agg 2's 50th percentile — the
+            # dashboard-cloud-trail corpus).  The reference's switch
+            # matches only _count/_key and silently drops anything
+            # else (aggs_terms.go:38-52), leaving the SQL with a LIMIT
+            # but NO ORDER BY — an arbitrary bucket subset when the
+            # size cap binds.  Mirror the drop; the default-order
+            # fallback below keeps OUR cap deterministic (equal to the
+            # reference whenever the cap does not bind).
+            continue
         exprs.append(F.desc(col) if v == "desc" else F.asc(col))
+    if not exprs:
+        exprs.append(F.desc(count_col))
     exprs.append(F.asc(key_col))
     return exprs
 
@@ -780,6 +791,26 @@ def _top_hits_df(
     )
 
 
+def _resolve_agg_fields(node, schema):
+    """Normalize every ``"field"`` reference in an aggs tree through
+    `_field_name` — the default-keyword rule (a trailing `.keyword`
+    that isn't a real subfield means exact match on the base field,
+    expr.go:650-655) applies to agg fields exactly as to query fields;
+    Kibana emits `eventSource.keyword` etc. for every terms tile
+    (the dashboard-cloud-trail corpus).  The query path resolves
+    per-predicate; the aggs path resolves once up front."""
+    if isinstance(node, dict):
+        return {
+            k: (_field_name(v, schema)
+                if k == "field" and isinstance(v, str)
+                else _resolve_agg_fields(v, schema))
+            for k, v in node.items()
+        }
+    if isinstance(node, list):
+        return [_resolve_agg_fields(v, schema) for v in node]
+    return node
+
+
 def aggs_to_df(df: DataFrame, aggs: dict[str, Any], now=None,
                qs_mapping: dict[str, dict] | None = None) -> DataFrame:
     """Translate an `aggs` object.  Exactly one bucket agg per nesting
@@ -787,6 +818,8 @@ def aggs_to_df(df: DataFrame, aggs: dict[str, Any], now=None,
     date_histogram bucket may instead hold ONE nested bucket agg) or a
     flat set of metric aggs.  `now`/`qs_mapping` thread into nested
     filter predicates (date math, typed ranges) with df's schema."""
+    if df is not None:
+        aggs = _resolve_agg_fields(aggs, df.schema)
     ctx = (now, qs_mapping,
            df.schema if df is not None else None)
     bucket_items = [
@@ -970,9 +1003,13 @@ def elastic_search(df: DataFrame, body: dict[str, Any], now=None,
     `size`, `_source` projection)."""
     out = df.filter(
         query_to_column(body.get("query"), now, qs_mapping, df.schema))
-    if "aggs" in body or "aggregations" in body:
-        return aggs_to_df(out, body.get("aggs") or body["aggregations"],
-                          now, qs_mapping)
+    # `"aggs": null` / `"aggs": {}` mean NO aggregations, not an empty
+    # bucket set — Kibana's flight-log request ships literal null, and
+    # the total-count dashboard tiles ship {} (the proxy reads only
+    # $total_count from those); both fall through to the hits path
+    aggs = body.get("aggs") or body.get("aggregations")
+    if aggs:
+        return aggs_to_df(out, aggs, now, qs_mapping)
     # Elastic sort is lexicographic over the listed keys (first key
     # primary); collect every key into ONE orderBy — chained orderBy
     # calls would each REPLACE the previous sort
