@@ -1,0 +1,231 @@
+"""End-to-end Elastic `_search`: request body in, Elastic JSON out.
+
+This joins the proxy's two halves as one native surface:
+
+  request ──(adapters/elastic.py: DSL → Catalyst plans, run on Spark)──►
+  flat raw rows in the proxy's step-3 shape ──(adapters/
+  elastic_response.py: pre_process + convert_result, artifact-proven
+  against every recorded step-4/step-5 capture)──► response envelope
+
+`execute_raw` mirrors the *query generation* contract of the
+reference's SQL generator (ref: elasticproxy/elastic-proxy/
+elastic_json.go:340-474 and aggs_generate_context.go): one
+`$total_count` scalar, an optional `$hits` row set, a metrics-only
+`"$bucket:%0"` row, one `"$bucket:<name>%0"` row set per top-level
+bucket aggregation (metric and FILTER-clause sub-aggs ride along as
+extra columns), and one `"$bucket:<outer>:<inner>%0"` row set per
+nested bucket level — the exact key layout the recorded
+`*-3-output.json` captures use, so the assembly half consumes it
+unchanged.
+
+Spark does all the heavy lifting: every bucket set is one
+DataFrame aggregation (grouped, FILTER-clause metrics fused into the
+same pass), and only the final already-aggregated buckets (bounded by
+`size`) plus at most `size` hits are collected to the driver.
+
+Equivalence is pinned scenario-by-scenario in
+`tests/test_search_json.py`: for all 34 recorded dashboards/searches,
+the raw produced here equals the raw produced by executing the
+proxy's *recorded* WITH-form SQL over the same synthesized tables.
+"""
+from __future__ import annotations
+
+from datetime import datetime, timezone
+from decimal import Decimal
+from typing import Any
+
+from pyspark.sql import DataFrame
+
+from .elastic import (
+    _BUCKET_KINDS,
+    _PIPELINE_KINDS,
+    ElasticDslError,
+    _filter_metric_like,
+    elastic_search,
+    query_to_column,
+)
+from .elastic_response import convert_result
+
+TOTAL_COUNT = "$total_count"
+HITS = "$hits"
+
+
+def _bucket_kind(spec: dict[str, Any]) -> str | None:
+    return next((k for k in spec if k in _BUCKET_KINDS), None)
+
+
+def _is_pipeline(spec: dict[str, Any]) -> bool:
+    return bool(set(spec) & _PIPELINE_KINDS)
+
+
+def _strip_pipeline(aggs: dict[str, Any]) -> dict[str, Any]:
+    """bucket_script/bucket_sort are response post-processing
+    (convert_result runs them); they never reach the query."""
+    out = {}
+    for n, s in aggs.items():
+        if _is_pipeline(s):
+            continue
+        s = dict(s)
+        if s.get("aggs"):
+            sub = _strip_pipeline(s["aggs"])
+            if sub:
+                s["aggs"] = sub
+            else:
+                del s["aggs"]
+        out[n] = s
+    return out
+
+
+def _py(v: Any) -> Any:
+    """Row value → the type the ION-revived raw would carry."""
+    if isinstance(v, Decimal):
+        f = float(v)
+        return int(f) if f.is_integer() else f
+    if isinstance(v, datetime) and v.tzinfo is None:
+        # session tz is UTC (session.py:48); the proxy's time.Time
+        # values are tz-aware UTC
+        return v.replace(tzinfo=timezone.utc)
+    if isinstance(v, list):
+        return [_py(x) for x in v]
+    if isinstance(v, dict):
+        return {k: _py(x) for k, x in v.items()}
+    return v
+
+
+def _epoch_s(v: Any) -> Any:
+    """Fixed-interval date_histogram keys travel as epoch-second ints
+    (the generator's TIME_BUCKET, aggs_date_histogram.go); calendar
+    intervals stay timestamps (DATE_TRUNC) — convert_result branches
+    on exactly that split (elastic_response.py _process_bucket)."""
+    if isinstance(v, datetime):
+        if v.tzinfo is None:
+            v = v.replace(tzinfo=timezone.utc)
+        return int(v.timestamp())
+    return v
+
+
+def _fixed_date_hist(spec: dict[str, Any], kind: str) -> bool:
+    return kind == "date_histogram" and bool(
+        spec[kind].get("fixed_interval") or spec[kind].get("interval"))
+
+
+def _rows(df: DataFrame) -> list[dict[str, Any]]:
+    return [{k: _py(v) for k, v in r.asDict(recursive=True).items()}
+            for r in df.collect()]
+
+
+def _rename(rows: list[dict], mapping: dict[str, str],
+            epoch_cols: set[str]) -> list[dict]:
+    out = []
+    for r in rows:
+        rr = {}
+        for k, v in r.items():
+            nk = mapping.get(k, k)
+            rr[nk] = _epoch_s(v) if nk in epoch_cols else v
+        out.append(rr)
+    return out
+
+
+def execute_raw(df: DataFrame, body: dict[str, Any], now=None,
+                qs_mapping: dict[str, dict] | None = None
+                ) -> dict[str, Any]:
+    """Run the request's query plan on Spark and return the flat raw
+    result in the proxy's step-3 shape."""
+    query = body.get("query")
+    filtered = df.filter(query_to_column(query, now, qs_mapping, df.schema))
+    raw: dict[str, Any] = {TOTAL_COUNT: filtered.count()}
+
+    # --- $hits: emitted whenever the effective size is > 0
+    # (elastic_json.go:340-345 — default 10) ---------------------------
+    size = 10 if body.get("size") is None else int(body["size"])
+    if size > 0:
+        hits_body = {k: v for k, v in body.items()
+                     if k in ("query", "sort", "from")}
+        hits_body["size"] = size
+        raw[HITS] = _rows(elastic_search(df, hits_body, now, qs_mapping))
+
+    aggs = _strip_pipeline(body.get("aggs")
+                           or body.get("aggregations") or {})
+    if not aggs:
+        return raw
+
+    def run_slice(slice_aggs: dict[str, Any]) -> list[dict]:
+        return _rows(elastic_search(
+            df, {"query": query, "aggs": slice_aggs}, now, qs_mapping))
+
+    # --- metrics-only "$bucket:%0" ------------------------------------
+    metric_slice = {n: s for n, s in aggs.items() if _bucket_kind(s) is None}
+    if metric_slice:
+        rows = run_slice(metric_slice)
+        row = rows[0] if rows else {}
+        row["$dummy$"] = False  # the generator's constant grouping key
+        # a one-row subselect decodes from ION as a single struct, and
+        # pre_process branches on exactly that shape
+        raw["$bucket:%0"] = row
+
+    # --- one CTE per bucket level -------------------------------------
+    for name, spec in aggs.items():
+        kind = _bucket_kind(spec)
+        if kind is None:
+            continue
+        sub = spec.get("aggs") or {}
+        nested = {n: s for n, s in sub.items()
+                  if _bucket_kind(s) is not None
+                  and not _filter_metric_like(s)}
+        ride_along = {n: s for n, s in sub.items() if n not in nested}
+
+        # outer level: metrics + FILTER-clause sub-aggs fused in
+        outer_spec = dict(spec)
+        if ride_along:
+            outer_spec["aggs"] = ride_along
+        else:
+            outer_spec.pop("aggs", None)
+        mapping = {"key": f"$key:{name}%0", "doc_count": "$doc_count"}
+        for fname, fspec in ride_along.items():
+            if _filter_metric_like(fspec):
+                mapping[f"{fname}_doc_count"] = f"{fname}:$doc_count"
+        epoch = ({f"$key:{name}%0"} if _fixed_date_hist(spec, kind)
+                 else set())
+        raw[f"$bucket:{name}%0"] = _rename(
+            run_slice({name: outer_spec}), mapping, epoch)
+
+        # nested levels (the reference's dashboards use two)
+        for iname, ispec in nested.items():
+            ikind = _bucket_kind(ispec)
+            if any(_bucket_kind(s) is not None
+                   and not _filter_metric_like(s)
+                   for s in (ispec.get("aggs") or {}).values()):
+                raise ElasticDslError(
+                    "search_json supports two nested bucket levels, "
+                    "matching the reference's recorded dashboards")
+            inner_spec = dict(spec)
+            inner_spec["aggs"] = {iname: ispec}
+            mapping = {
+                "key": f"$key:{name}%0",
+                f"{iname}_key": f"$key:{name}:{iname}%0",
+                f"{iname}_doc_count": "$doc_count",
+            }
+            epoch = set()
+            if _fixed_date_hist(spec, kind):
+                epoch.add(f"$key:{name}%0")
+            if _fixed_date_hist(ispec, ikind):
+                epoch.add(f"$key:{name}:{iname}%0")
+            rows = _rename(run_slice({name: inner_spec}), mapping, epoch)
+            for r in rows:
+                r.pop("doc_count", None)  # outer count lives in %0 above
+            raw[f"$bucket:{name}:{iname}%0"] = rows
+
+    return raw
+
+
+def search_json(df: DataFrame, body: dict[str, Any], *,
+                type_mapping: dict[str, Any] | None = None,
+                index: str = "", now=None,
+                qs_mapping: dict[str, dict] | None = None
+                ) -> dict[str, Any]:
+    """The proxy's `_search` endpoint, natively: execute on Spark,
+    assemble the full Elastic response envelope."""
+    raw = execute_raw(df, body, now, qs_mapping)
+    response, _ = convert_result(
+        body, raw, type_mapping=type_mapping, index=index)
+    return response
