@@ -55,13 +55,18 @@ from sneller_spark.session import ship_package  # noqa: E402
 # driver-green in rounds 1-5 (count_distinct_exact,
 # window_topn_per_group — both stay oracle-green in the full
 # tools/check_correctness.py run), so the union of driver-gated names
-# reaches 132/132 within round 6.
+# reaches 132/132 within round 6.  Later still:
+# `elastic_search_json_envelope` (the new request->Spark->Elastic-
+# envelope round-trip, oracle-backed, pre-flighted green vs DuckDB at
+# sf0.01) swaps in for the anchor `broadcast_join_agg`
+# (driver-green rounds 1-5; stays oracle-green in the full run) —
+# union 133/133.
 # ---------------------------------------------------------------------
 _PRIORITY = [
     # --- anchors (driver-green in >=2 earlier rounds; kept so every
     # round's artifact still value-checks the flagship surface) -------
     "scan_project_filter", "agg_q1_pricing_summary",
-    "broadcast_join_agg",
+    "elastic_search_json_envelope",
     "tokens_pipeline_flagship", "routed_rows_equality",
     # --- first-time, oracle-backed (added late in round 6) -----------
     "partiql_surface_pricing", "elastic_query_string_filter",

@@ -163,10 +163,45 @@ def execute_raw(df: DataFrame, body: dict[str, Any], now=None,
         # pre_process branches on exactly that shape
         raw["$bucket:%0"] = row
 
+    def _and_query(*qs):
+        qs = [x for x in qs if x]
+        if not qs:
+            return None
+        return qs[0] if len(qs) == 1 else {"bool": {"filter": qs}}
+
+    def _keyless_bucket(fquery, sub: dict[str, Any]) -> dict[str, Any]:
+        """The generator's keyless COUNT(*) bucket for filter/filters
+        levels (aggs_filter.go:23-33, aggs_filters.go:48-69): a
+        single struct with $doc_count plus any metric sub-aggs."""
+        fdf = df.filter(query_to_column(_and_query(query, fquery),
+                                        now, qs_mapping, df.schema))
+        row: dict[str, Any] = {"$doc_count": fdf.count()}
+        metrics = {n: s for n, s in sub.items() if _bucket_kind(s) is None}
+        if metrics:
+            rows = _rows(elastic_search(
+                fdf, {"aggs": metrics, "size": 0}, now, qs_mapping))
+            if rows:
+                row.update(rows[0])
+        return row
+
     # --- one CTE per bucket level -------------------------------------
     for name, spec in aggs.items():
         kind = _bucket_kind(spec)
         if kind is None:
+            continue
+
+        # filter/filters levels are keyless: one struct per named
+        # filter at the bucket path, no $key columns — pre_process
+        # rebuilds the group from the path segment itself
+        if kind == "filter":
+            raw[f"$bucket:{name}%0"] = _keyless_bucket(
+                spec["filter"], spec.get("aggs") or {})
+            continue
+        if kind == "filters":
+            for fname in sorted(spec["filters"]["filters"]):
+                raw[f"$bucket:{name}:{fname}%0"] = _keyless_bucket(
+                    spec["filters"]["filters"][fname],
+                    spec.get("aggs") or {})
             continue
         sub = spec.get("aggs") or {}
         nested = {n: s for n, s in sub.items()
@@ -192,6 +227,11 @@ def execute_raw(df: DataFrame, body: dict[str, Any], now=None,
         # nested levels (the reference's dashboards use two)
         for iname, ispec in nested.items():
             ikind = _bucket_kind(ispec)
+            if ikind == "filters":
+                raise ElasticDslError(
+                    "named `filters` nested under a bucket agg is not "
+                    "supported by search_json (a single `filter` fuses "
+                    "as a FILTER-clause column)")
             if any(_bucket_kind(s) is not None
                    and not _filter_metric_like(s)
                    for s in (ispec.get("aggs") or {}).values()):

@@ -1544,6 +1544,46 @@ def elastic_geotile_grid(spark, sf_dir):
 
 
 @register(
+    "elastic_search_json_envelope",
+    """SELECT event_type AS key, COUNT(*) AS doc_count,
+              COUNT(*) FILTER (WHERE value >= 50.0) AS big_docs,
+              ROUND(SUM(value), 4) AS sum_value
+       FROM events WHERE value >= 0.0 GROUP BY 1
+       ORDER BY doc_count DESC, key ASC LIMIT 3""",
+)
+def elastic_search_json_envelope(spark, sf_dir):
+    """The full proxy round-trip (adapters/search.py::search_json):
+    request body -> Spark plans -> flat step-3 raw -> assembled
+    Elastic envelope (elastic_json.go:476-758) — then the envelope's
+    terms buckets (with a fused FILTER-clause sub-agg and a sum
+    metric) flattened back to rows for the oracle.  Spark computes
+    every bucket; only the size-capped final buckets reach the
+    driver."""
+    from .adapters.search import search_json
+
+    body = {
+        "size": 0,
+        "query": {"range": {"value": {"gte": 0.0}}},
+        "aggs": {"by_type": {
+            "terms": {"field": "event_type", "size": 3},
+            "aggs": {
+                "big": {"filter": {"range": {"value": {"gte": 50.0}}}},
+                "sum_value": {"sum": {"field": "value"}},
+            },
+        }},
+    }
+    resp = search_json(load(spark, sf_dir, "events"), body, index="events")
+    rows = [
+        (b["key"], b["doc_count"], b["big"]["doc_count"],
+         round(float(b["sum_value"]["value"]), 4))
+        for b in resp["aggregations"]["by_type"]["buckets"]
+    ]
+    return spark.createDataFrame(
+        rows, "key string, doc_count bigint, big_docs bigint, "
+              "sum_value double")
+
+
+@register(
     "elastic_bucket_script_sort",
     """WITH b AS (SELECT event_type AS key, COUNT(*) AS doc_count,
                          SUM(value) AS total,

@@ -1,0 +1,119 @@
+"""Direct unit coverage for `adapters.search` beyond the recorded
+scenarios: agg shapes the 34 captures don't exercise at root level
+(filters / filter / histogram / geotile-free metrics mixes), the
+hits envelope knobs, and the raw-shape contract."""
+from __future__ import annotations
+
+import json
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    rows = [
+        # (id, kind, v, ts-second)
+        (1, "click", 5.0), (2, "click", 55.0), (3, "view", 10.0),
+        (4, "view", 60.0), (5, "view", 70.0), (6, "error", 0.5),
+    ]
+    return spark.createDataFrame(rows, "id int, kind string, v double")
+
+
+def test_root_filters_agg(spark, events):
+    """A root-level `filters` agg becomes a BucketMappedResult: named
+    buckets keyed by filter name (aggs_filters.go:51-66,
+    elastic_json.go bucketMappedResult)."""
+    from sneller_spark.adapters.search import search_json
+
+    resp = search_json(events, {
+        "size": 0,
+        "aggs": {"split": {"filters": {"filters": {
+            "big": {"range": {"v": {"gte": 50.0}}},
+            "clicks": {"term": {"kind": "click"}},
+        }}}},
+    })
+    json.dumps(resp)
+    b = resp["aggregations"]["split"]["buckets"]
+    assert b["big"]["doc_count"] == 3
+    assert b["clicks"]["doc_count"] == 2
+
+
+def test_root_filter_single_agg(spark, events):
+    """A root-level single `filter` agg: one bucket, doc_count only."""
+    from sneller_spark.adapters.search import search_json
+
+    resp = search_json(events, {
+        "size": 0,
+        "aggs": {"big": {"filter": {"range": {"v": {"gte": 50.0}}}}},
+    })
+    assert resp["aggregations"]["big"]["doc_count"] == 3
+
+
+def test_root_histogram_agg(spark, events):
+    from sneller_spark.adapters.search import search_json
+
+    resp = search_json(events, {
+        "size": 0,
+        "aggs": {"h": {"histogram": {"field": "v", "interval": 50.0}}},
+    })
+    buckets = {b["key"]: b["doc_count"]
+               for b in resp["aggregations"]["h"]["buckets"]}
+    assert buckets == {0.0: 3, 50.0: 3}
+
+
+def test_hits_envelope_knobs(spark, events):
+    """size/from/sort/_source/track_total_hits all act on the
+    envelope exactly as the proxy's ConvertResult does."""
+    from sneller_spark.adapters.search import search_json
+
+    resp = search_json(events, {
+        "size": 2, "from": 1,
+        "sort": [{"v": {"order": "desc"}}],
+        "_source": ["kind", "v"],
+        "query": {"range": {"v": {"gte": 10.0}}},
+        "track_total_hits": 3,
+    }, index="unit")
+    hits = resp["hits"]["hits"]
+    assert [h["_source"]["v"] for h in hits] == [60.0, 55.0]  # 70 skipped
+    assert all(set(h["_source"]) == {"kind", "v"} for h in hits)
+    assert all(h["sort"] == [h["_source"]["v"]] for h in hits)
+    assert resp["hits"]["total"] == {"relation": "gte", "value": 3}
+    ids = [h["_id"] for h in hits]
+    assert len(set(ids)) == 2 and all(ids)
+
+
+def test_raw_shape_contract(spark, events):
+    """execute_raw emits the step-3 layout: metrics-only struct with
+    $dummy$, per-level lists with $key columns, $hits by default."""
+    from sneller_spark.adapters.search import execute_raw
+
+    raw = execute_raw(events, {
+        "aggs": {
+            "avg_v": {"avg": {"field": "v"}},
+            "by_kind": {"terms": {"field": "kind"},
+                        "aggs": {"h": {"histogram": {
+                            "field": "v", "interval": 50.0}}}},
+        },
+    })
+    assert raw["$total_count"] == 6
+    assert len(raw["$hits"]) == 6  # default size 10
+    m = raw["$bucket:%0"]
+    assert isinstance(m, dict) and m["$dummy$"] is False
+    assert m["avg_v"] == pytest.approx(200.5 / 6)
+    outer = raw["$bucket:by_kind%0"]
+    assert {r["$key:by_kind%0"] for r in outer} == {"click", "view", "error"}
+    inner = raw["$bucket:by_kind:h%0"]
+    assert all(set(r) == {"$key:by_kind%0", "$key:by_kind:h%0",
+                          "$doc_count"} for r in inner)
+
+
+def test_three_level_nesting_rejected(spark, events):
+    from sneller_spark.adapters.elastic import ElasticDslError
+    from sneller_spark.adapters.search import execute_raw
+
+    with pytest.raises(ElasticDslError, match="two nested"):
+        execute_raw(events, {"aggs": {"a": {
+            "terms": {"field": "kind"},
+            "aggs": {"b": {"terms": {"field": "kind"},
+                           "aggs": {"c": {"terms": {"field": "kind"}}}}},
+        }}})
