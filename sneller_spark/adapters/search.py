@@ -216,6 +216,11 @@ def execute_raw(df: DataFrame, body: dict[str, Any], now=None,
         else:
             outer_spec.pop("aggs", None)
         mapping = {"key": f"$key:{name}%0", "doc_count": "$doc_count"}
+        if kind == "multi_terms":
+            # composite keys: key_i → $key:<name>%i (the generator's
+            # groupKeyIndex, aggs_generate_context.go:82)
+            for i in range(len(spec["multi_terms"]["terms"])):
+                mapping[f"key_{i}"] = f"$key:{name}%{i}"
         for fname, fspec in ride_along.items():
             if _filter_metric_like(fspec):
                 mapping[f"{fname}_doc_count"] = f"{fname}:$doc_count"

@@ -107,6 +107,30 @@ def test_raw_shape_contract(spark, events):
                           "$doc_count"} for r in inner)
 
 
+def test_multi_terms_composite_keys(spark, events):
+    """multi_terms keys travel as $key:<name>%0/%1 (groupKeyIndex,
+    aggs_generate_context.go:82) and assemble to composite-key
+    buckets."""
+    from sneller_spark.adapters.search import execute_raw, search_json
+
+    body = {"size": 0, "aggs": {"mt": {"multi_terms": {"terms": [
+        {"field": "kind"}, {"field": "id"}]}}}}
+    raw = execute_raw(events, body)
+    rows = raw["$bucket:mt%0"]
+    assert all(set(r) == {"$key:mt%0", "$key:mt%1", "$doc_count"}
+               for r in rows)
+    resp = search_json(events, body)
+    buckets = resp["aggregations"]["mt"]["buckets"]
+    assert len(buckets) == 6  # every (kind, id) pair is unique
+    # faithfully mirrored reference quirk: the proxy emits only the
+    # FIRST key value per multi_terms bucket (aggs_multi_terms.go:113
+    # `Key: group.KeyValues[0]`, marked TODO there), not Elastic's
+    # composite-key array — the groups themselves are still composite
+    # (6 buckets, doc_count 1 each)
+    assert all(b["doc_count"] == 1 for b in buckets)
+    assert {b["key"] for b in buckets} == {"click", "view", "error"}
+
+
 def test_three_level_nesting_rejected(spark, events):
     from sneller_spark.adapters.elastic import ElasticDslError
     from sneller_spark.adapters.search import execute_raw
