@@ -705,7 +705,11 @@ def _nested_bucket_df(
         # outer bucket order/cap: Elastic terms default (doc_count
         # desc, key asc), explicit _key/_count `order` honored (the
         # venkat-keyorder dashboard shape); dense_rank over the order
-        # ranks each outer bucket
+        # ranks each outer bucket.  The unpartitioned window runs over
+        # the POST-AGGREGATION bucket set (one row per (outer, inner)
+        # group), never raw rows — bounded by key cardinality, so the
+        # single-partition WindowExec is a few-KB sort, not a scale
+        # hazard.
         out = out.withColumn(
             "_orank",
             F.dense_rank().over(Window.orderBy(
@@ -782,6 +786,9 @@ def _top_hits_df(
         "hit_rank",
         F.row_number().over(Window.partitionBy("key").orderBy(*sort_exprs)),
     ).filter(F.col("hit_rank") <= size)
+    # unpartitioned rank over the bucket list only (row_number above
+    # already capped hits per bucket inside a keyed window); bounded
+    # by the terms-key cardinality, not the input size
     base = base.withColumn(
         "_orank",
         F.dense_rank().over(Window.orderBy(F.desc("doc_count"), F.asc("key"))),
