@@ -1023,11 +1023,16 @@ def elastic_search(df: DataFrame, body: dict[str, Any], now=None,
     sort_exprs: list[Column] = []
     for s in body.get("sort", []):
         if isinstance(s, str):
+            # bare-string sort keys are an extension (the proxy's
+            # SortField only unmarshals the object form); Elastic's own
+            # default for them is ascending
             sort_exprs.append(F.asc(s))
         else:
             (field, spec), = s.items()
-            order = spec.get("order", "asc") if isinstance(spec, dict) else spec
-            sort_exprs.append(F.desc(field) if order == "desc" else F.asc(field))
+            # omitted `order` means DESC in the proxy
+            # (elastic_json.go:113-115 SortField.UnmarshalJSON)
+            order = spec.get("order", "desc") if isinstance(spec, dict) else spec
+            sort_exprs.append(F.asc(field) if order == "asc" else F.desc(field))
     if sort_exprs:
         out = out.orderBy(*sort_exprs)
     src = body.get("_source")

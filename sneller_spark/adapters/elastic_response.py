@@ -208,6 +208,20 @@ def _epoch(dt: datetime) -> float:
     return dt.astimezone(timezone.utc).timestamp()
 
 
+_GO_EPOCH = datetime(1970, 1, 1, tzinfo=timezone.utc)
+
+
+def _epoch_micros(dt: datetime) -> int:
+    """Exact integer microseconds since the epoch (Go t.UnixMicro()).
+    Float epoch seconds lose sub-microsecond precision past ~2001
+    (ulp of 1e9 s is ~0.24 us) and nanoseconds by hundreds — timedelta
+    keeps exact integer days/seconds/microseconds instead."""
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=timezone.utc)
+    d = dt - _GO_EPOCH
+    return (d.days * 86400 + d.seconds) * 1_000_000 + d.microseconds
+
+
 _DATE_FORMATS: dict[str, Any] = {
     "basic_date": lambda d: _fmt(d, "%Y%m%d"),
     "basic_date_time": lambda d: _fmt(d, "%Y%m%dT%H:%M:%S", 3, z=True),
@@ -240,8 +254,8 @@ _DATE_FORMATS: dict[str, Any] = {
     "unix_seconds": lambda d: int(_epoch(d)),
     "epoch_millis": lambda d: round(_epoch(d) * 1000),
     "unix_milli_seconds": lambda d: round(_epoch(d) * 1000),
-    "unix_micro_seconds": lambda d: round(_epoch(d) * 1_000_000),
-    "unix_nano_seconds": lambda d: round(_epoch(d) * 1_000_000_000),
+    "unix_micro_seconds": lambda d: _epoch_micros(d),
+    "unix_nano_seconds": lambda d: _epoch_micros(d) * 1000,
 }
 
 
@@ -792,7 +806,12 @@ def _process_bucket(kind: str, body: dict, subs: dict, c: _ProcessContext):
                         f"unsupported interval {cal!r}")
                 step_ms = int(step)
             have = {int(b.key) for b in result.buckets}
-            lo = bounds["min"] - (bounds["min"] % step_ms)
+            # Go's % truncates toward zero (aggs_date_histogram.go
+            # Min - Min%step); Python's floors — they differ for
+            # pre-epoch (negative) bounds.min
+            bmin = int(bounds["min"])
+            rem = bmin % step_ms if bmin >= 0 else -((-bmin) % step_ms)
+            lo = bmin - rem
             t = lo
             while t <= bounds["max"]:
                 if t not in have:

@@ -29,7 +29,12 @@ _M64 = (1 << 64) - 1
 
 
 class _Xorshift:
-    """sort.xorshift — seeded with the slice length."""
+    """sort.xorshift — seeded with the slice length.  Go's pdqsort was
+    ported from Rust's core::slice::sort, which (like Go) uses the
+    13/17/5 shift triple — NOT the 13/7/17 of Marsaglia's 64-bit
+    example.  Only reachable via breakPatterns after an unbalanced
+    partition; the recorded artifacts never get there, so this is
+    pinned by fidelity to the source, not by a capture."""
 
     def __init__(self, seed: int):
         self.v = seed & _M64
@@ -37,8 +42,8 @@ class _Xorshift:
     def next(self) -> int:
         v = self.v
         v = (v ^ (v << 13)) & _M64
-        v = (v ^ (v >> 7)) & _M64
-        v = (v ^ (v << 17)) & _M64
+        v = (v ^ (v >> 17)) & _M64
+        v = (v ^ (v << 5)) & _M64
         self.v = v
         return v
 

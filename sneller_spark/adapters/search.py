@@ -172,17 +172,23 @@ def execute_raw(df: DataFrame, body: dict[str, Any], now=None,
     def _keyless_bucket(fquery, sub: dict[str, Any]) -> dict[str, Any]:
         """The generator's keyless COUNT(*) bucket for filter/filters
         levels (aggs_filter.go:23-33, aggs_filters.go:48-69): a
-        single struct with $doc_count plus any metric sub-aggs."""
+        single struct with $doc_count plus any metric sub-aggs, all in
+        ONE aggregation job."""
+        from pyspark.sql import functions as F
+
+        from .elastic import _metric_exprs
+
+        if any(_bucket_kind(s) is not None for s in sub.values()):
+            raise ElasticDslError(
+                "bucket aggs nested under a top-level filter/filters "
+                "agg are not supported by search_json")
         fdf = df.filter(query_to_column(_and_query(query, fquery),
                                         now, qs_mapping, df.schema))
-        row: dict[str, Any] = {"$doc_count": fdf.count()}
-        metrics = {n: s for n, s in sub.items() if _bucket_kind(s) is None}
-        if metrics:
-            rows = _rows(elastic_search(
-                fdf, {"aggs": metrics, "size": 0}, now, qs_mapping))
-            if rows:
-                row.update(rows[0])
-        return row
+        exprs = [F.count(F.lit(1)).alias("$doc_count")]
+        for n, s in sub.items():
+            exprs.extend(_metric_exprs(n, s))
+        [row] = fdf.agg(*exprs).collect()
+        return {k: _py(v) for k, v in row.asDict(recursive=True).items()}
 
     # --- one CTE per bucket level -------------------------------------
     for name, spec in aggs.items():
@@ -204,9 +210,14 @@ def execute_raw(df: DataFrame, body: dict[str, Any], now=None,
                     spec.get("aggs") or {})
             continue
         sub = spec.get("aggs") or {}
+        # a bare `filter` sub-agg fuses as a FILTER-clause count in the
+        # parent pass; a filter WITH its own metric sub-aggs needs its
+        # own nested CTE (the parent pass has nowhere to carry the
+        # filtered metrics — the reference emits the CTE via
+        # aggs_filter.go transform + subContext.transform())
         nested = {n: s for n, s in sub.items()
                   if _bucket_kind(s) is not None
-                  and not _filter_metric_like(s)}
+                  and not (_filter_metric_like(s) and not s.get("aggs"))}
         ride_along = {n: s for n, s in sub.items() if n not in nested}
 
         # outer level: metrics + FILTER-clause sub-aggs fused in
@@ -237,6 +248,41 @@ def execute_raw(df: DataFrame, body: dict[str, Any], now=None,
                     "named `filters` nested under a bucket agg is not "
                     "supported by search_json (a single `filter` fuses "
                     "as a FILTER-clause column)")
+            if ikind == "filter":
+                # filter-with-metrics under a bucket: its own CTE
+                # carrying the parent keys — the outer bucket agg
+                # re-grouped over (query AND filter) with the filter's
+                # metric sub-aggs in the same pass; size widened to
+                # the generator's nested-level groupByLimit
+                # (helpers.go:25) so the filtered ranking can't drop a
+                # key the %0 pass kept
+                fsub = ispec.get("aggs") or {}
+                if any(_bucket_kind(s) is not None for s in fsub.values()):
+                    raise ElasticDslError(
+                        "bucket aggs nested under a filter sub-agg are "
+                        "not supported by search_json")
+                fslice = dict(spec)
+                fslice[kind] = dict(spec[kind])
+                fslice[kind]["size"] = 10000
+                if fsub:
+                    fslice["aggs"] = fsub
+                else:
+                    fslice.pop("aggs", None)
+                fdf = df.filter(query_to_column(
+                    _and_query(query, ispec["filter"]),
+                    now, qs_mapping, df.schema))
+                mapping = {"key": f"$key:{name}%0",
+                           "doc_count": "$doc_count"}
+                if kind == "multi_terms":
+                    for i in range(len(spec["multi_terms"]["terms"])):
+                        mapping[f"key_{i}"] = f"$key:{name}%{i}"
+                epoch = ({f"$key:{name}%0"}
+                         if _fixed_date_hist(spec, kind) else set())
+                raw[f"$bucket:{name}:{iname}%0"] = _rename(
+                    _rows(elastic_search(fdf, {"aggs": {name: fslice}},
+                                         now, qs_mapping)),
+                    mapping, epoch)
+                continue
             if any(_bucket_kind(s) is not None
                    and not _filter_metric_like(s)
                    for s in (ispec.get("aggs") or {}).values()):

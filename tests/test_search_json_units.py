@@ -107,6 +107,55 @@ def test_raw_shape_contract(spark, events):
                           "$doc_count"} for r in inner)
 
 
+def test_filter_with_metrics_under_terms(spark, events):
+    """A filter sub-agg WITH its own metrics gets a nested keyless CTE
+    carrying the parent keys (aggs_filter.go transform through
+    subContext.transform()); the envelope then reports the filtered
+    metric per outer bucket — not null."""
+    from sneller_spark.adapters.search import execute_raw, search_json
+
+    body = {"size": 0, "aggs": {"by": {
+        "terms": {"field": "kind"},
+        "aggs": {"big": {
+            "filter": {"range": {"v": {"gte": 50.0}}},
+            "aggs": {"m": {"avg": {"field": "v"}}},
+        }},
+    }}}
+    raw = execute_raw(events, body)
+    inner = {r["$key:by%0"]: r for r in raw["$bucket:by:big%0"]}
+    assert inner["view"]["$doc_count"] == 2
+    assert inner["view"]["m"] == pytest.approx(65.0)
+    assert set(inner) == {"click", "view"}  # error has no v >= 50 rows
+
+    resp = search_json(events, body)
+    b = {x["key"]: x for x in resp["aggregations"]["by"]["buckets"]}
+    assert b["view"]["big"]["doc_count"] == 2
+    assert b["view"]["big"]["m"]["value"] == pytest.approx(65.0)
+    assert b["error"]["big"]["doc_count"] == 0
+
+
+def test_bucket_under_top_level_filter_rejected(spark, events):
+    from sneller_spark.adapters.elastic import ElasticDslError
+    from sneller_spark.adapters.search import execute_raw
+
+    with pytest.raises(ElasticDslError, match="top-level filter"):
+        execute_raw(events, {"size": 0, "aggs": {"f": {
+            "filter": {"term": {"kind": "click"}},
+            "aggs": {"by": {"terms": {"field": "kind"}}},
+        }}})
+
+
+def test_hits_sort_defaults_desc(spark, events):
+    """Omitted `order` means DESC in the proxy (elastic_json.go:113-115
+    SortField.UnmarshalJSON)."""
+    from sneller_spark.adapters.search import search_json
+
+    resp = search_json(events, {"size": 3, "sort": [{"v": {}}],
+                                "_source": ["v"]})
+    assert [h["_source"]["v"] for h in resp["hits"]["hits"]] \
+        == [70.0, 60.0, 55.0]
+
+
 def test_multi_terms_composite_keys(spark, events):
     """multi_terms keys travel as $key:<name>%0/%1 (groupKeyIndex,
     aggs_generate_context.go:82) and assemble to composite-key
