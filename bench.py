@@ -60,6 +60,9 @@ HEADLINE_QUERIES = [
     "hypertable_rollup_day_from_hour",
     "curation_paragraph_dedup",
     "sketch_heavy_hitters_exact",
+    # round 6: the request->Spark->Elastic-envelope round-trip (one
+    # two-phase bucket agg + driver-side assembly)
+    "elastic_search_json_envelope",
 ]
 
 
