@@ -149,6 +149,22 @@ def execute_raw(df: DataFrame, body: dict[str, Any], now=None,
     if not aggs:
         return raw
 
+    def _reject_top_hits(tree: dict[str, Any]) -> None:
+        for s in tree.values():
+            if "top_hits" in s:
+                # the proxy's own result processor hard-errors on
+                # top_hits (aggs_top_hits.go:97 / _process_metric);
+                # the DataFrame path (elastic_search) supports it as
+                # an extension, but the envelope surface stays
+                # reference-faithful
+                raise ElasticDslError(
+                    "top_hits is not supported by search_json (the "
+                    "reference proxy errors too); use elastic_search "
+                    "for the DataFrame form")
+            _reject_top_hits(s.get("aggs") or {})
+
+    _reject_top_hits(aggs)
+
     def run_slice(slice_aggs: dict[str, Any]) -> list[dict]:
         return _rows(elastic_search(
             df, {"query": query, "aggs": slice_aggs}, now, qs_mapping))

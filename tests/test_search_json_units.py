@@ -180,6 +180,20 @@ def test_multi_terms_composite_keys(spark, events):
     assert {b["key"] for b in buckets} == {"click", "view", "error"}
 
 
+def test_top_hits_rejected(spark, events):
+    """The reference proxy's result processor hard-errors on top_hits
+    (aggs_top_hits.go:97); the envelope surface mirrors that, while
+    elastic_search keeps the DataFrame extension."""
+    from sneller_spark.adapters.elastic import ElasticDslError
+    from sneller_spark.adapters.search import execute_raw
+
+    with pytest.raises(ElasticDslError, match="top_hits"):
+        execute_raw(events, {"size": 0, "aggs": {"by": {
+            "terms": {"field": "kind"},
+            "aggs": {"h": {"top_hits": {"size": 2}}},
+        }}})
+
+
 def test_three_level_nesting_rejected(spark, events):
     from sneller_spark.adapters.elastic import ElasticDslError
     from sneller_spark.adapters.search import execute_raw
