@@ -180,6 +180,40 @@ def test_multi_terms_composite_keys(spark, events):
     assert {b["key"] for b in buckets} == {"click", "view", "error"}
 
 
+def test_pipeline_aggs_through_envelope(spark, events):
+    """bucket_script + bucket_sort never reach the query (stripped by
+    execute_raw); convert_result computes them over the finished
+    buckets — the pipeline-order dashboard shape on toy data."""
+    from sneller_spark.adapters.search import search_json
+
+    resp = search_json(events, {"size": 0, "aggs": {"by": {
+        "terms": {"field": "kind"},
+        "aggs": {
+            "ids": {"cardinality": {"field": "id"}},
+            "big": {"filter": {"range": {"v": {"gte": 50.0}}}},
+            "total": {"bucket_script": {
+                "buckets_path": {"a": "ids", "b": "big"},
+                "script": "params.a + params.b",
+            }},
+            "top1": {"bucket_sort": {
+                "size": 1,
+                "sort": [{"total": {"order": "desc"}}],
+            }},
+        },
+    }}})
+    buckets = resp["aggregations"]["by"]["buckets"]
+    assert len(buckets) == 1  # bucket_sort size cap
+    b = buckets[0]
+    # faithfully mirrored reference quirk: bucket_script reads ONLY
+    # *metricResult int values (aggs_bucket_script.go:57-66) — the
+    # `big` filter bucket is a bucketSingleResult, so it contributes 0
+    # and total = ids alone (3 for view, its distinct-id count).
+    # view wins the sort with 3 ids vs click's 2 and error's 1.
+    assert b["key"] == "view"
+    assert b["total"]["value"] == 3
+    assert b["big"]["doc_count"] == 2  # the filter itself is correct
+
+
 def test_top_hits_rejected(spark, events):
     """The reference proxy's result processor hard-errors on top_hits
     (aggs_top_hits.go:97); the envelope surface mirrors that, while
