@@ -121,6 +121,8 @@ def _go_float(f: float) -> str:
         # Go prints float64(135) as "135" in 'f' mode
         a = abs(f)
         if a == 0 or (1e-6 <= a < 1e21):
+            if a == 0 and math.copysign(1.0, f) < 0:
+                return "-0"  # encoding/json keeps the sign of -0.0
             return str(int(f))
     digits = repr(f)  # shortest round-trip, possibly scientific
     a = abs(f)
@@ -238,6 +240,10 @@ _DATE_FORMATS: dict[str, Any] = {
     "strict_date_hour_minute": lambda d: _fmt(d, "%Y-%m-%dT%H:%M"),
     # the reference swaps the second/fraction layouts between these two
     # pairs (type_format.go:216-219) — mirrored verbatim
+    # the TRAILING SPACES in two keys below are verbatim from the
+    # reference (type_format.go:223,225 case labels); the space-free
+    # spellings fall through to the RFC3339Nano default there too, so
+    # this is a mirrored quirk, not a transcription typo
     "date_hour_minute_second_fraction ": lambda d: _fmt(d, "%Y-%m-%dT%H:%M:%S"),
     "strict_date_hour_minute_second": lambda d: _fmt(d, "%Y-%m-%dT%H:%M:%S"),
     "date_hour_minute_second": lambda d: _fmt(d, "%Y-%m-%dT%H:%M:%S", 3),
@@ -308,8 +314,12 @@ def format_out_raw(value: Any, f: str) -> Any:
             return fn(value)
         # unknown format: Go falls through to the RFC3339Nano default
         return rfc3339_nano(value)
-    if isinstance(value, EpochMillis):
-        # only proxy-made epoch-ms ints (Go int64) re-enter as timestamps
+    if isinstance(value, int) and not isinstance(value, bool):
+        # every decoded int is a Go int64, and type_format.go:250-258
+        # attempts the epoch-ms reading for ALL of them (the time.Time
+        # switch has an RFC3339Nano default, so the attempt never
+        # fails); EpochMillis-wrapped proxy-made keys take this path
+        # too
         return format_out_raw(
             datetime.fromtimestamp(int(value) / 1000, tz=timezone.utc), f)
     raise ElasticResponseError(f"type-format {f!r} is unknown")
@@ -896,7 +906,15 @@ def _compare_values(a, b) -> int:
     if isinstance(a, float):
         if not isinstance(b, float):
             return -1
-        return int(a - b)  # the proxy truncates float deltas to int
+        d = a - b
+        if math.isnan(d) or math.isinf(d) or not (
+                -(2.0**63) <= d < 2.0**63):
+            # Go's float->int conversion doesn't panic; on amd64 (the
+            # proxy's platform) cvttsd2si returns the minimum int64
+            # for every invalid input — NaN, +/-Inf, out of range —
+            # so such comparisons all read as "less"
+            return -(1 << 63)
+        return int(d)  # the proxy truncates float deltas to int
     if isinstance(a, str):
         if not isinstance(b, str):
             return -1

@@ -30,6 +30,7 @@ proxy's *recorded* WITH-form SQL over the same synthesized tables.
 """
 from __future__ import annotations
 
+import re
 from datetime import datetime, timezone
 from decimal import Decimal
 from typing import Any
@@ -60,12 +61,19 @@ def _is_pipeline(spec: dict[str, Any]) -> bool:
 
 def _strip_pipeline(aggs: dict[str, Any]) -> dict[str, Any]:
     """bucket_script/bucket_sort are response post-processing
-    (convert_result runs them); they never reach the query."""
+    (convert_result runs them); they never reach the query.  Also
+    normalizes the `aggregations` alias to `aggs` at every level — an
+    Elastic-compatible extension: the proxy IGNORES the alias at top
+    level (ElasticJSON json:\"aggs\" tag) and hard-errors on it nested
+    (aggregation.UnmarshalJSON `invalid field`), but our response
+    half already reads both, so the query half must compute both."""
     out = {}
     for n, s in aggs.items():
         if _is_pipeline(s):
             continue
         s = dict(s)
+        if s.get("aggregations") and not s.get("aggs"):
+            s["aggs"] = s.pop("aggregations")
         if s.get("aggs"):
             sub = _strip_pipeline(s["aggs"])
             if sub:
@@ -105,8 +113,36 @@ def _epoch_s(v: Any) -> Any:
 
 
 def _fixed_date_hist(spec: dict[str, Any], kind: str) -> bool:
-    return kind == "date_histogram" and bool(
-        spec[kind].get("fixed_interval") or spec[kind].get("interval"))
+    if kind != "date_histogram":
+        return False
+    iv = spec[kind].get("fixed_interval") or spec[kind].get("interval")
+    if not iv:
+        return False
+    m = re.fullmatch(r"(\d+)ms", str(iv))
+    if m and int(m.group(1)) % 1000:
+        # the raw layout carries fixed-interval keys as epoch-SECOND
+        # ints (TIME_BUCKET), so sub-second buckets would silently
+        # merge; the DataFrame path (elastic_search) supports them
+        raise ElasticDslError(
+            "sub-second fixed_interval is not representable in the "
+            "proxy's epoch-second raw keys; use elastic_search for "
+            "the DataFrame form")
+    return True
+
+
+def _fold_geo(rows, sub: dict[str, Any]):
+    """Reassemble geo_centroid's flattened <name>_lat/<name>_lon
+    columns into the {'lat':…,'lon':…} struct the generator projects
+    (aggs_geo_centroid.go:20-31) and LocationResult expects."""
+    geo = [n for n, s in sub.items() if "geo_centroid" in s]
+    if not geo:
+        return rows
+    for r in ([rows] if isinstance(rows, dict) else rows):
+        for g in geo:
+            if f"{g}_lat" in r or f"{g}_lon" in r:
+                r[g] = {"lat": r.pop(f"{g}_lat", None),
+                        "lon": r.pop(f"{g}_lon", None)}
+    return rows
 
 
 def _rows(df: DataFrame) -> list[dict[str, Any]]:
@@ -173,7 +209,7 @@ def execute_raw(df: DataFrame, body: dict[str, Any], now=None,
     metric_slice = {n: s for n, s in aggs.items() if _bucket_kind(s) is None}
     if metric_slice:
         rows = run_slice(metric_slice)
-        row = rows[0] if rows else {}
+        row = _fold_geo(rows[0] if rows else {}, metric_slice)
         row["$dummy$"] = False  # the generator's constant grouping key
         # a one-row subselect decodes from ION as a single struct, and
         # pre_process branches on exactly that shape
@@ -204,7 +240,9 @@ def execute_raw(df: DataFrame, body: dict[str, Any], now=None,
         for n, s in sub.items():
             exprs.extend(_metric_exprs(n, s))
         [row] = fdf.agg(*exprs).collect()
-        return {k: _py(v) for k, v in row.asDict(recursive=True).items()}
+        return _fold_geo(
+            {k: _py(v) for k, v in row.asDict(recursive=True).items()},
+            sub)
 
     # --- one CTE per bucket level -------------------------------------
     for name, spec in aggs.items():
@@ -220,10 +258,31 @@ def execute_raw(df: DataFrame, body: dict[str, Any], now=None,
                 spec["filter"], spec.get("aggs") or {})
             continue
         if kind == "filters":
-            for fname in sorted(spec["filters"]["filters"]):
-                raw[f"$bucket:{name}:{fname}%0"] = _keyless_bucket(
-                    spec["filters"]["filters"][fname],
-                    spec.get("aggs") or {})
+            named = spec["filters"]["filters"]
+            fsub = spec.get("aggs") or {}
+            if not fsub:
+                # common Kibana shape (plain named filters): ONE scan,
+                # one FILTER-clause count per name — the same fusion
+                # elastic.py's own filters path uses
+                from pyspark.sql import functions as F
+
+                base = df.filter(query_to_column(query, now, qs_mapping,
+                                                 df.schema))
+                names = sorted(named)
+                exprs = [
+                    F.count(F.when(query_to_column(
+                        named[fname], now, qs_mapping, df.schema),
+                        F.lit(1))).alias(f"_f{i}")
+                    for i, fname in enumerate(names)
+                ]
+                [row] = base.agg(*exprs).collect()
+                for i, fname in enumerate(names):
+                    raw[f"$bucket:{name}:{fname}%0"] = {
+                        "$doc_count": int(row[i])}
+            else:
+                for fname in sorted(named):
+                    raw[f"$bucket:{name}:{fname}%0"] = _keyless_bucket(
+                        named[fname], fsub)
             continue
         sub = spec.get("aggs") or {}
         # a bare `filter` sub-agg fuses as a FILTER-clause count in the
@@ -253,8 +312,9 @@ def execute_raw(df: DataFrame, body: dict[str, Any], now=None,
                 mapping[f"{fname}_doc_count"] = f"{fname}:$doc_count"
         epoch = ({f"$key:{name}%0"} if _fixed_date_hist(spec, kind)
                  else set())
-        raw[f"$bucket:{name}%0"] = _rename(
-            run_slice({name: outer_spec}), mapping, epoch)
+        raw[f"$bucket:{name}%0"] = _fold_geo(
+            _rename(run_slice({name: outer_spec}), mapping, epoch),
+            ride_along)
 
         # nested levels (the reference's dashboards use two)
         for iname, ispec in nested.items():
@@ -294,10 +354,13 @@ def execute_raw(df: DataFrame, body: dict[str, Any], now=None,
                         mapping[f"key_{i}"] = f"$key:{name}%{i}"
                 epoch = ({f"$key:{name}%0"}
                          if _fixed_date_hist(spec, kind) else set())
-                raw[f"$bucket:{name}:{iname}%0"] = _rename(
-                    _rows(elastic_search(fdf, {"aggs": {name: fslice}},
-                                         now, qs_mapping)),
-                    mapping, epoch)
+                raw[f"$bucket:{name}:{iname}%0"] = _fold_geo(
+                    _rename(
+                        _rows(elastic_search(
+                            fdf, {"aggs": {name: fslice}},
+                            now, qs_mapping)),
+                        mapping, epoch),
+                    fsub)
                 continue
             if any(_bucket_kind(s) is not None
                    and not _filter_metric_like(s)
@@ -312,6 +375,18 @@ def execute_raw(df: DataFrame, body: dict[str, Any], now=None,
                 f"{iname}_key": f"$key:{name}:{iname}%0",
                 f"{iname}_doc_count": "$doc_count",
             }
+            isub = ispec.get("aggs") or {}
+            for fname, fspec in isub.items():
+                if _filter_metric_like(fspec):
+                    if fspec.get("aggs"):
+                        raise ElasticDslError(
+                            "metrics under a filter at the second "
+                            "bucket level are not supported by "
+                            "search_json")
+                    # the inner pass fuses it as <fname>_doc_count
+                    # (_sub_metric_exprs); the raw needs the
+                    # <fname>:$doc_count inline form
+                    mapping[f"{fname}_doc_count"] = f"{fname}:$doc_count"
             epoch = set()
             if _fixed_date_hist(spec, kind):
                 epoch.add(f"$key:{name}%0")
@@ -320,7 +395,7 @@ def execute_raw(df: DataFrame, body: dict[str, Any], now=None,
             rows = _rename(run_slice({name: inner_spec}), mapping, epoch)
             for r in rows:
                 r.pop("doc_count", None)  # outer count lives in %0 above
-            raw[f"$bucket:{name}:{iname}%0"] = rows
+            raw[f"$bucket:{name}:{iname}%0"] = _fold_geo(rows, isub)
 
     return raw
 

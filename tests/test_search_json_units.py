@@ -180,6 +180,94 @@ def test_multi_terms_composite_keys(spark, events):
     assert {b["key"] for b in buckets} == {"click", "view", "error"}
 
 
+def test_aggregations_alias_normalized(spark, events):
+    """Nested sub-aggs spelled with the `aggregations` alias compute
+    (Elastic-compatible extension; the proxy hard-errors on the
+    nested alias and silently ignores the top-level one)."""
+    from sneller_spark.adapters.search import search_json
+
+    resp = search_json(events, {"size": 0, "aggregations": {"by": {
+        "terms": {"field": "kind"},
+        "aggregations": {"m": {"avg": {"field": "v"}}},
+    }}})
+    b = {x["key"]: x for x in resp["aggregations"]["by"]["buckets"]}
+    assert b["click"]["m"]["value"] == pytest.approx(30.0)
+
+
+def test_geo_centroid_reassembled(spark):
+    """geo_centroid's flattened lat/lon columns fold back into the
+    {'lat':…,'lon':…} struct the generator projects
+    (aggs_geo_centroid.go:20-31), at root and under a bucket."""
+    from sneller_spark.adapters.search import search_json
+
+    pts = spark.createDataFrame(
+        [("a", (10.0, 20.0)), ("a", (30.0, 40.0)), ("b", (-10.0, 5.0))],
+        "g string, loc struct<lat:double,lon:double>")
+    resp = search_json(pts, {"size": 0, "aggs": {
+        "c": {"geo_centroid": {"field": "loc"}},
+        "by": {"terms": {"field": "g"},
+               "aggs": {"c2": {"geo_centroid": {"field": "loc"}}}},
+    }})
+    assert resp["aggregations"]["c"]["location"] \
+        == {"lat": 10.0, "lon": pytest.approx(65.0 / 3)}
+    b = {x["key"]: x for x in resp["aggregations"]["by"]["buckets"]}
+    assert b["a"]["c2"]["location"] == {"lat": 20.0, "lon": 30.0}
+
+
+def test_filters_fused_single_scan(spark, events):
+    """Plain named filters (no sub-aggs) fuse into ONE aggregation —
+    and the values match the per-name path."""
+    from sneller_spark.adapters.search import execute_raw
+
+    raw = execute_raw(events, {"size": 0, "aggs": {"split": {
+        "filters": {"filters": {
+            "big": {"range": {"v": {"gte": 50.0}}},
+            "clicks": {"term": {"kind": "click"}},
+            "none": {"term": {"kind": "nope"}},
+        }}}}})
+    assert raw["$bucket:split:big%0"] == {"$doc_count": 3}
+    assert raw["$bucket:split:clicks%0"] == {"$doc_count": 2}
+    assert raw["$bucket:split:none%0"] == {"$doc_count": 0}
+
+
+def test_inner_level_filter_doc_count(spark, events):
+    """A metric-like filter under the SECOND bucket level fuses as a
+    FILTER-clause count and travels as <name>:$doc_count in the inner
+    CTE rows (issue-67's inline form)."""
+    from sneller_spark.adapters.search import execute_raw, search_json
+
+    body = {"size": 0, "aggs": {"o": {
+        "terms": {"field": "kind"},
+        "aggs": {"i": {
+            "histogram": {"field": "v", "interval": 50.0},
+            "aggs": {"big": {"filter": {"range": {"v": {"gte": 55.0}}}}},
+        }},
+    }}}
+    raw = execute_raw(events, body)
+    rows = {(r["$key:o%0"], r["$key:o:i%0"]): r
+            for r in raw["$bucket:o:i%0"]}
+    assert rows[("view", 50.0)]["big:$doc_count"] == 2  # 60, 70
+    assert rows[("click", 50.0)]["big:$doc_count"] == 1  # 55
+
+    resp = search_json(events, body)
+    b = {x["key"]: x for x in resp["aggregations"]["o"]["buckets"]}
+    inner = {x["key"]: x for x in b["view"]["i"]["buckets"]}
+    assert inner[50.0]["big"]["doc_count"] == 2
+
+
+def test_subsecond_fixed_interval_rejected(spark):
+    from sneller_spark.adapters.elastic import ElasticDslError
+    from sneller_spark.adapters.search import execute_raw
+
+    ts = spark.createDataFrame(
+        [("2022-01-01 00:00:00.2",), ("2022-01-01 00:00:00.7",)],
+        "t string").selectExpr("cast(t as timestamp) as t")
+    with pytest.raises(ElasticDslError, match="sub-second"):
+        execute_raw(ts, {"size": 0, "aggs": {"h": {
+            "date_histogram": {"field": "t", "fixed_interval": "500ms"},
+        }}})
+
+
 def test_pipeline_aggs_through_envelope(spark, events):
     """bucket_script + bucket_sort never reach the query (stripped by
     execute_raw); convert_result computes them over the finished
