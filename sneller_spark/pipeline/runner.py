@@ -302,10 +302,23 @@ def run_pipeline(
             sdir = os.path.join(sketch_dir, f"unit={uid}")
             if os.path.exists(os.path.join(sdir, "_SUCCESS")):
                 continue
+            unit_dir = os.path.join(routed_dir, f"unit={uid}")
+            if not os.path.isdir(unit_dir):
+                from .compact import compaction_view
+
+                absorbed, _packs = compaction_view(out_dir)
+                if uid in absorbed:
+                    # compact_routed refuses to absorb sketch-less
+                    # units only while sketches/ exists; enabling
+                    # sketch_col AFTER compaction hits this instead of
+                    # a silent undercount
+                    raise RuntimeError(
+                        f"unit {uid} was compacted before sketches "
+                        "were enabled; its per-unit backfill source is "
+                        "gone — rebuild sketches from read_routed() or "
+                        "start a fresh output dir with sketch_col set")
             _write_unit_sketch(
-                spark.read.parquet(
-                    os.path.join(routed_dir, f"unit={uid}")
-                ).select(sketch_col),
+                spark.read.parquet(unit_dir).select(sketch_col),
                 sketch_col, sdir, sketch_params,
             )
 
@@ -372,7 +385,7 @@ def run_pipeline(
     stats = log.total_stats()
     agg_done = os.path.exists(os.path.join(out_dir, AGG_SUBDIR, "_SUCCESS"))
     if log.committed_units() and (todo or not agg_done):
-        routed_all = spark.read.parquet(routed_dir)
+        routed_all = read_routed(spark, out_dir)
         agg = (
             aggregate_per_sink_salted(routed_all, salt_buckets=salt_buckets)
             if salted
@@ -388,4 +401,8 @@ def read_aggregates(spark: SparkSession, out_dir: str) -> DataFrame:
 
 
 def read_routed(spark: SparkSession, out_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(out_dir, ROUTED_SUBDIR))
+    """Consistent view of the routed table: live units + committed
+    compaction packs, absorbed units excluded (pipeline/compact.py)."""
+    from .compact import read_routed_consistent
+
+    return read_routed_consistent(spark, out_dir)
