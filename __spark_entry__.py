@@ -58,14 +58,17 @@ from sneller_spark.session import ship_package  # noqa: E402
 # reaches 132/132 within round 6.  Later still:
 # `elastic_search_json_envelope` (the new request->Spark->Elastic-
 # envelope round-trip, oracle-backed, pre-flighted green vs DuckDB at
-# sf0.01) swaps in for the anchor `broadcast_join_agg`
-# (driver-green rounds 1-5; stays oracle-green in the full run) —
-# union 133/133.
+# sf0.01) swaps in for the anchor `broadcast_join_agg`, and
+# `runner_compacted_per_sink` (the manifest-gated compaction story,
+# oracle = a full independent SQL re-derivation of per-sink counts)
+# swaps in for the anchor `agg_q1_pricing_summary` — both displaced
+# anchors were driver-green in rounds 1-5 and stay oracle-green in
+# the full run.  Union 134/134.
 # ---------------------------------------------------------------------
 _PRIORITY = [
     # --- anchors (driver-green in >=2 earlier rounds; kept so every
     # round's artifact still value-checks the flagship surface) -------
-    "scan_project_filter", "agg_q1_pricing_summary",
+    "scan_project_filter", "runner_compacted_per_sink",
     "elastic_search_json_envelope",
     "tokens_pipeline_flagship", "routed_rows_equality",
     # --- first-time, oracle-backed (added late in round 6) -----------

@@ -281,6 +281,20 @@ def run_pipeline(
         if resume and log.is_committed(uid, inputs=files)
     }
     todo = [(uid, files) for uid, files in units if uid not in done_ids]
+    if todo:
+        # a unit already absorbed into a compaction pack must never be
+        # reprocessed (changed input identity): its old rows live in
+        # the pack, so a rewrite would double-count in read_routed
+        from .compact import compaction_view
+
+        absorbed, _packs = compaction_view(out_dir)
+        clash = sorted(uid for uid, _f in todo if uid in absorbed)
+        if clash:
+            raise RuntimeError(
+                f"input identity changed for compacted unit(s) {clash}: "
+                "their previous rows are inside a pack and reprocessing "
+                "would duplicate them — inputs must be immutable after "
+                "compaction (use a fresh output dir to re-ingest)")
     if max_units is not None:
         todo = todo[:max_units]
 

@@ -1855,3 +1855,68 @@ def runner_sketch_merged_hitters(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_rows"))
         .filter(F.col("n_rows") >= 1000)
     )
+
+
+@register(
+    "runner_compacted_per_sink",
+    f"""WITH inp AS (
+         SELECT * FROM read_parquet('{_FLAGSHIP_DIR}/runner_units/*.parquet')
+       ), tok AS (
+         SELECT doc_id, unnest(tokens) AS tid,
+                generate_subscripts(tokens, 1) AS pos
+         FROM inp
+       ), txt AS (
+         SELECT t.doc_id, string_agg(v.word, ' ' ORDER BY t.pos) AS text
+         FROM tok t
+         JOIN read_parquet('{_FLAGSHIP_DIR}/vocab.parquet') v ON v.id = t.tid
+         GROUP BY t.doc_id
+       ), parsed AS (
+         SELECT i.doc_id, i.source, i.n_tok,
+                NULLIF(regexp_extract(x.text,
+                    '\\bLEVEL=(DEBUG|INFO|WARN|ERROR)\\b', 1), '') AS level
+         FROM inp i JOIN txt x USING (doc_id)
+       ), enriched AS (
+         SELECT p.*, COALESCE(l.category, 'unknown') AS category
+         FROM parsed p
+         LEFT JOIN read_parquet('{_FLAGSHIP_DIR}/lookup.parquet') l
+           USING (source)
+       )
+       SELECT COALESCE(r.sink_id, 'sink-7') AS sink_id,
+              COUNT(*) AS n_rows,
+              CAST(SUM(e.n_tok) AS BIGINT) AS sum_n_tok
+       FROM enriched e
+       LEFT JOIN read_parquet('{_FLAGSHIP_DIR}/rules.parquet') r
+         ON r.category = e.category AND r.level = e.level
+       GROUP BY 1 ORDER BY 1""",
+)
+def runner_compacted_per_sink(spark, sf_dir):
+    """The compaction story, end-to-end and value-checked: ingest the
+    flagship input as four checkpointed units, fold them into one
+    size-targeted pack generation (pipeline/compact.py — hidden
+    staging, footer-count verification, atomic manifest commit), then
+    aggregate per-sink counts THROUGH the manifest-gated read_routed
+    view.  The oracle re-derives every row's sink assignment
+    independently in SQL over the same input files, so the compacted
+    view must preserve BASELINE.json's per-sink aggregate counts
+    exactly.  Idempotent: a re-run resumes to a no-op and a second
+    compaction finds a single pack (nothing to fold)."""
+    from .pipeline.compact import compact_routed
+    from .pipeline.runner import read_routed, run_pipeline
+
+    d = _ensure_flagship_inputs()
+    # fixture-version-keyed out dir: a regenerated input must start a
+    # fresh ingest, never re-feed units already absorbed into a pack
+    out = os.path.join(d, f"runner_out_compact_{_fixture_version()}")
+    import fcntl
+
+    with open(os.path.join(d, ".runner_out_compact.lock"), "w") as lk:
+        fcntl.flock(lk, fcntl.LOCK_EX)
+        run_pipeline(spark, os.path.join(d, "runner_units"), out)
+        compact_routed(spark, out, target_bytes=1 << 30)
+    return (
+        read_routed(spark, out)
+        .groupBy("sink_id")
+        .agg(F.count(F.lit(1)).alias("n_rows"),
+             F.sum("n_tok").alias("sum_n_tok"))
+        .orderBy("sink_id")
+    )

@@ -141,6 +141,18 @@ def test_sketch_coverage_guard(spark, tmp_path):
     assert info["gen"] == 1
 
 
+def test_reprocess_of_absorbed_unit_refused(spark, piped):
+    """Mutating an input file whose unit was already absorbed must
+    hard-error: its old rows live inside a pack, so reprocessing
+    would double-count."""
+    inp, out = piped
+    compact_routed(spark, out, target_bytes=1 << 30)
+    generate_chunk(0, 900).to_parquet(  # changed identity for unit 0
+        os.path.join(inp, "part-0.parquet"), index=False)
+    with pytest.raises(RuntimeError, match="identity changed"):
+        run_pipeline(spark, inp, out)
+
+
 def test_no_op_below_two_candidates(spark, tmp_path):
     inp, out = str(tmp_path / "in"), str(tmp_path / "out")
     _mk_input(inp, units=1)
