@@ -129,17 +129,25 @@ def compact_routed(
     routed = os.path.join(out_dir, ROUTED_SUBDIR)
     log = LineageLog(out_dir)
     committed = log.committed_units()
-    absorbed_before, packs = compaction_view(out_dir)
+    manifests = _manifests(out_dir)  # read once; view derives from it
+    absorbed = set().union(*(set(m["absorbed"]) for m in manifests)) \
+        if manifests else set()
+    packs = {m["pack"] for m in manifests}
     if small_bytes is None:
         small_bytes = target_bytes // 2
 
-    # GC: orphan pack/staging dirs from a crash before the manifest
+    # GC: (a) staging dirs and orphan packs from a crash before the
+    # manifest commit; (b) absorbed unit dirs orphaned by a crash
+    # during (or a skipped) post-commit cleanup — invisible to
+    # read_routed but an unbounded disk leak otherwise
     for d in list(os.listdir(routed)) if os.path.isdir(routed) else []:
         uid = d[len("unit="):] if d.startswith("unit=") else None
         full = os.path.join(routed, d)
         if d.startswith(".staging-"):
             shutil.rmtree(full, ignore_errors=True)
         elif uid and uid.startswith("pack-") and uid not in packs:
+            shutil.rmtree(full, ignore_errors=True)
+        elif uid and uid in absorbed:
             shutil.rmtree(full, ignore_errors=True)
 
     # candidates: live dirs that are committed units or committed packs
@@ -169,19 +177,45 @@ def compact_routed(
                 f"their backfill source if absorbed: {sorted(missing)}; "
                 "resume run_pipeline(sketch_col=...) first")
 
-    gen = 1 + max([m["gen"] for m in _manifests(out_dir)] or [0])
+    gen = 1 + max([m["gen"] for m in manifests] or [0])
     pack_id = f"pack-{gen}"
     staging = os.path.join(routed, f".staging-gen-{gen}")
     shutil.rmtree(staging, ignore_errors=True)
 
     absorb_dirs = [p for _u, p, _s in candidates]
     total_bytes = sum(s for _u, _p, s in candidates)
-    n_files = max(1, -(-total_bytes // target_bytes))  # ceil
+
+    # file sizing must be PER SINK: partitionBy splits every shuffle
+    # partition by sink, so a single global file budget would emit up
+    # to budget x n_sinks under-sized files.  Salt each sink by its
+    # own ceil(bytes/target) so distinct (sink, salt) combos — and
+    # therefore output files — track the per-sink byte volume.
+    per_sink_bytes: dict[str, int] = {}
+    for p in absorb_dirs:
+        for root, _dirs, files in os.walk(p):
+            part = os.path.basename(root)
+            if not part.startswith("sink_id="):
+                continue
+            sink = part[len("sink_id="):]
+            per_sink_bytes[sink] = per_sink_bytes.get(sink, 0) + sum(
+                os.path.getsize(os.path.join(root, f))
+                for f in files if f.endswith(".parquet"))
+    sink_files = {s: max(1, -(-b // target_bytes))
+                  for s, b in per_sink_bytes.items()}
+    n_files = max(1, sum(sink_files.values()))
+    salt_map = F.create_map(*[
+        x for s, n in sink_files.items() for x in (F.lit(s), F.lit(int(n)))
+    ])
+    salt = F.pmod(F.spark_partition_id(),
+                  F.coalesce(salt_map[F.col("sink_id")], F.lit(1)))
 
     df = (
-        spark.read.option("basePath", routed).parquet(*absorb_dirs)
+        # mergeSchema: units written across code versions may disagree
+        # on columns; a subset-footer schema would silently drop data
+        spark.read.option("basePath", routed)
+        .option("mergeSchema", "true").parquet(*absorb_dirs)
         .drop("unit")  # the pack dir name supplies the unit column
-        .repartition(int(n_files), F.col("sink_id"), F.spark_partition_id())
+        .repartition(int(n_files), F.col("sink_id"), salt)
     )
     df.write.mode("overwrite").partitionBy("sink_id").parquet(staging)
 

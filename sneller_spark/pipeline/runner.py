@@ -283,12 +283,17 @@ def run_pipeline(
     todo = [(uid, files) for uid, files in units if uid not in done_ids]
     if todo:
         # a unit already absorbed into a compaction pack must never be
-        # reprocessed (changed input identity): its old rows live in
-        # the pack, so a rewrite would double-count in read_routed
+        # reprocessed: its old rows live in the pack, so a rewrite
+        # would double-count in read_routed
         from .compact import compaction_view
 
         absorbed, _packs = compaction_view(out_dir)
         clash = sorted(uid for uid, _f in todo if uid in absorbed)
+        if clash and not resume:
+            raise RuntimeError(
+                "resume=False cannot reprocess a compacted output dir: "
+                f"unit(s) {clash} are inside a pack and a rewrite would "
+                "duplicate their rows — use a fresh output dir")
         if clash:
             raise RuntimeError(
                 f"input identity changed for compacted unit(s) {clash}: "
@@ -311,6 +316,9 @@ def run_pipeline(
         # contributes routed rows and still needs its sketch.  Units
         # about to be reprocessed (identity changed -> in todo) are
         # excluded; they write a fresh sketch in the loop below.
+        from .compact import compaction_view
+
+        absorbed_units, _packs = compaction_view(out_dir)
         todo_ids = {uid for uid, _ in todo}
         for uid in sorted(log.committed_units() - todo_ids):
             sdir = os.path.join(sketch_dir, f"unit={uid}")
@@ -318,10 +326,7 @@ def run_pipeline(
                 continue
             unit_dir = os.path.join(routed_dir, f"unit={uid}")
             if not os.path.isdir(unit_dir):
-                from .compact import compaction_view
-
-                absorbed, _packs = compaction_view(out_dir)
-                if uid in absorbed:
+                if uid in absorbed_units:
                     # compact_routed refuses to absorb sketch-less
                     # units only while sketches/ exists; enabling
                     # sketch_col AFTER compaction hits this instead of
@@ -331,6 +336,10 @@ def run_pipeline(
                         "were enabled; its per-unit backfill source is "
                         "gone — rebuild sketches from read_routed() or "
                         "start a fresh output dir with sketch_col set")
+                raise RuntimeError(
+                    f"committed unit {uid} has no routed output and no "
+                    "compaction record — the routed table was modified "
+                    "out-of-band; cannot backfill its sketch")
             _write_unit_sketch(
                 spark.read.parquet(unit_dir).select(sketch_col),
                 sketch_col, sdir, sketch_params,

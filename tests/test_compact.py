@@ -169,3 +169,43 @@ def test_target_bytes_controls_file_count(spark, piped):
     m = json.load(open(os.path.join(out, "compaction", "gen-1.json")))
     assert m["files"] == info["files"] >= 2
     assert sum(m["per_sink"].values()) == m["rows"] == 2400
+
+
+def test_file_budget_is_per_sink(spark, piped):
+    """A huge target must yield ~one file per sink, not one per
+    (shuffle partition x sink): the salt is sized per sink."""
+    _inp, out = piped
+    info = compact_routed(spark, out, target_bytes=1 << 30)
+    pack = os.path.join(out, "routed", "unit=pack-1")
+    sinks = [d for d in os.listdir(pack) if d.startswith("sink_id=")]
+    per_sink = {
+        d: sum(1 for f in os.listdir(os.path.join(pack, d))
+               if f.endswith(".parquet"))
+        for d in sinks
+    }
+    assert all(n == 1 for n in per_sink.values()), per_sink
+    assert info["files"] == len(sinks)
+
+
+def test_gc_collects_absorbed_leftovers(spark, piped):
+    """Absorbed dirs surviving a cleanup crash are collected by the
+    next compaction run, not leaked forever."""
+    _inp, out = piped
+    compact_routed(spark, out, target_bytes=1 << 30, cleanup=False)
+    routed = os.path.join(out, "routed")
+    assert sum(1 for d in os.listdir(routed)
+               if d.startswith("unit=") and "pack" not in d) == 3
+    before = _rows_sorted(read_routed(spark, out))
+    # next invocation GCs the leftovers even when there is nothing
+    # new to compact
+    compact_routed(spark, out, target_bytes=1 << 30)
+    assert sum(1 for d in os.listdir(routed)
+               if d.startswith("unit=") and "pack" not in d) == 0
+    assert _rows_sorted(read_routed(spark, out)) == before
+
+
+def test_resume_false_on_compacted_dir_refused(spark, piped):
+    inp, out = piped
+    compact_routed(spark, out, target_bytes=1 << 30)
+    with pytest.raises(RuntimeError, match="resume=False"):
+        run_pipeline(spark, inp, out, resume=False)
