@@ -204,6 +204,54 @@ def test_gc_collects_absorbed_leftovers(spark, piped):
     assert _rows_sorted(read_routed(spark, out)) == before
 
 
+def test_partial_absorption_multigen(spark, tmp_path):
+    """Mixed unit sizes with a small threshold: only the small units
+    absorb, the big one stays live; later generations converge; the
+    row multiset is stable throughout."""
+    inp, out = str(tmp_path / "in"), str(tmp_path / "out")
+    os.makedirs(inp)
+    sizes = [120, 150, 2500, 90, 60]  # one unit ~20x the others
+    lo = 0
+    for k, n in enumerate(sizes):
+        generate_chunk(lo, lo + n).to_parquet(
+            os.path.join(inp, f"part-{k}.parquet"), index=False)
+        lo += n
+    run_pipeline(spark, inp, out)
+    total = sum(sizes)
+    expect = _rows_sorted(read_routed(spark, out))
+    assert len(expect) == total
+
+    # threshold below the big unit's bytes: it must survive as-is
+    routed = os.path.join(out, "routed")
+
+    def dir_bytes(d):
+        return sum(os.path.getsize(os.path.join(r, f))
+                   for r, _x, fs in os.walk(os.path.join(routed, d))
+                   for f in fs if f.endswith(".parquet"))
+
+    sizes_by_unit = {d[len("unit="):]: dir_bytes(d)
+                     for d in os.listdir(routed) if d.startswith("unit=")}
+    big_unit = max(sizes_by_unit, key=sizes_by_unit.get)
+    info = compact_routed(spark, out, target_bytes=1 << 30,
+                          small_bytes=max(1, sizes_by_unit[big_unit] - 1))
+    assert info["absorbed"] == 4
+    units = {r["unit"] for r in read_routed(spark, out)
+             .select("unit").distinct().collect()}
+    assert units == {big_unit, "pack-1"}
+    assert _rows_sorted(read_routed(spark, out)) == expect
+
+    # new increments + a high-threshold gen-2 folds everything
+    generate_chunk(10_000, 10_080).to_parquet(
+        os.path.join(inp, "part-9.parquet"), index=False)
+    run_pipeline(spark, inp, out)
+    info2 = compact_routed(spark, out, target_bytes=1 << 30)
+    assert info2["gen"] == 2 and info2["absorbed"] == 3
+    after = read_routed(spark, out)
+    assert {r["unit"] for r in after.select("unit").distinct().collect()} \
+        == {"pack-2"}
+    assert after.count() == total + 80
+
+
 def test_resume_false_on_compacted_dir_refused(spark, piped):
     inp, out = piped
     compact_routed(spark, out, target_bytes=1 << 30)
