@@ -30,24 +30,126 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
+# ---------------------------------------------------------------------
+# Unrolled dot-product expression builders (optimization round 7).
+#
+# The fold form above (`F.aggregate(zip_with(...))`) is CodegenFallback:
+# Spark evaluates it interpreted, per element, per row — measured ~50x
+# slower than codegen on the near-dup pair recheck.  When the vector
+# length is KNOWN (probed once from the data, or implied by a constant
+# query/plane vector), the dot unrolls into a flat
+# ((0.0 + a[0]*b[0]) + a[1]*b[1]) + ... expression with the SAME
+# left-to-right IEEE-double accumulation order and the same null
+# semantics (any null / out-of-bounds element poisons the sum to null),
+# so results are bit-identical — but the flat expression whole-stage-
+# codegens.  The expression is assembled as ONE SQL string parsed by a
+# single F.expr() call: building it term-by-term through the Column API
+# costs ~3 py4j round-trips per term (~1s of DRIVER time per 512-term
+# expression), which bench.py's fn()+collect() timing pays on every
+# invocation.  Double literals use 17-significant-digit exponent form,
+# which the SQL parser reads as DOUBLE and round-trips exactly.
+# ---------------------------------------------------------------------
+
+
+def _flit(v: float) -> str:
+    """Exact round-trip DOUBLE literal (exponent form parses as double,
+    never decimal)."""
+    return f"{float(v):.17e}"
+
+
+def _dot_lits_sql(ref: str, vals) -> str:
+    """SQL for dot(`ref`, constant vector) with fold-identical
+    accumulation order."""
+    if len(vals) == 0:
+        return "0.0e0"
+    terms = " + ".join(
+        f"CAST({ref}[{i}] AS DOUBLE) * {_flit(v)}" for i, v in enumerate(vals)
+    )
+    return f"(0.0e0 + {terms})"
+
+
+def _dot_cols_sql(a: str, b: str, dim: int) -> str:
+    """SQL for dot(`a`, `b`) over KNOWN length with fold-identical
+    accumulation order."""
+    if dim == 0:
+        return "0.0e0"
+    terms = " + ".join(
+        f"CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)" for i in range(dim)
+    )
+    return f"(0.0e0 + {terms})"
+
+
+def _ref(name: str) -> str:
+    return f"`{name}`"
+
+
+def _dot_lits_unrolled(a: Column | str, vals) -> Column:
+    """Dot product of an array column with a CONSTANT vector.  Pass the
+    column NAME (str) for the single-F.expr fast path; a Column falls
+    back to per-term construction (same resulting expression)."""
+    if isinstance(a, str):
+        return F.expr(_dot_lits_sql(_ref(a), vals))
+    acc: Column = F.lit(0.0)
+    for i, v in enumerate(vals):
+        acc = acc + a.getItem(i).cast("double") * F.lit(float(v))
+    return acc
+
+
+def _dot_cols_unrolled(a: Column | str, b: Column | str, dim: int) -> Column:
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(_dot_cols_sql(_ref(a), _ref(b), dim))
+    ac = F.col(a) if isinstance(a, str) else a
+    bc = F.col(b) if isinstance(b, str) else b
+    acc: Column = F.lit(0.0)
+    for i in range(dim):
+        acc = acc + ac.getItem(i).cast("double") * bc.getItem(i).cast("double")
+    return acc
+
+
 def _norm(a: Column) -> Column:
     return F.sqrt(_dot(a, a))
 
 
-def cosine_similarity_col(vec_col: Column, query: list[float]) -> Column:
-    q = F.array(*[F.lit(float(v)) for v in query])
-    return _dot(vec_col, q) / (_norm(vec_col) * _norm(q))
+def _qnorm(query) -> float:
+    """||q|| computed driver-side with the SAME left-to-right IEEE
+    accumulation the old in-plan fold used (0.0 + q0*q0 + q1*q1 + ...,
+    then sqrt) — bit-identical to evaluating the fold over the literal
+    array in the plan."""
+    import math
+
+    acc = 0.0
+    for v in query:
+        acc = acc + float(v) * float(v)
+    return math.sqrt(acc)
 
 
-def l2_distance_col(vec_col: Column, query: list[float]) -> Column:
-    q = F.array(*[F.lit(float(v)) for v in query])
-    return F.sqrt(
-        F.aggregate(
-            F.zip_with(vec_col, q, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
+def cosine_similarity_col(vec_col: Column | str, query: list[float]) -> Column:
+    dim = len(query)
+    if isinstance(vec_col, str):
+        r = _ref(vec_col)
+        return F.expr(
+            f"{_dot_lits_sql(r, query)} / "
+            f"(SQRT({_dot_cols_sql(r, r, dim)}) * {_flit(_qnorm(query))})"
         )
+    return _dot_lits_unrolled(vec_col, query) / (
+        F.sqrt(_dot_cols_unrolled(vec_col, vec_col, dim)) * F.lit(_qnorm(query))
     )
+
+
+def l2_distance_col(vec_col: Column | str, query: list[float]) -> Column:
+    if isinstance(vec_col, str):
+        r = _ref(vec_col)
+        terms = " + ".join(
+            f"(CAST({r}[{i}] AS DOUBLE) - {_flit(v)})"
+            f" * (CAST({r}[{i}] AS DOUBLE) - {_flit(v)})"
+            for i, v in enumerate(query)
+        )
+        return F.expr(f"SQRT(0.0e0 + {terms})" if query else "SQRT(0.0e0)")
+    acc: Column = F.lit(0.0)
+    for i, v in enumerate(query):
+        d = vec_col.getItem(i).cast("double") - F.lit(float(v))
+        acc = acc + d * d
+    return F.sqrt(acc)
 
 
 def brute_force_cosine_topk(
@@ -58,7 +160,7 @@ def brute_force_cosine_topk(
     vec_col: str = "embedding",
     round_digits: int | None = 4,
 ) -> DataFrame:
-    sim = cosine_similarity_col(F.col(vec_col), query)
+    sim = cosine_similarity_col(vec_col, query)
     if round_digits is not None:
         sim = F.round(sim, round_digits)
     return (
@@ -73,12 +175,26 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
     return rng.standard_normal((n_planes, dim))
 
 
-def srp_bucket_col(vec_col: Column, planes: np.ndarray) -> Column:
-    """Sign-random-projection bucket id: one bit per hyperplane."""
+def srp_bucket_col(vec_col: Column | str, planes: np.ndarray) -> Column:
+    """Sign-random-projection bucket id: one bit per hyperplane.  Each
+    plane dot is the unrolled literal-coefficient form (same fold order
+    as before — bit-identical sign decisions) so the whole bucket
+    expression whole-stage-codegens instead of falling back to
+    interpreted ArrayAggregate per plane.  With a str column name the
+    whole bucket expression is ONE parsed SQL string (a Column-API
+    build costs ~1s of py4j driver time for 8x64 terms)."""
+    if isinstance(vec_col, str):
+        r = _ref(vec_col)
+        parts = " + ".join(
+            f"(CASE WHEN {_dot_lits_sql(r, plane)} >= 0 THEN {1 << i} ELSE 0 END)"
+            for i, plane in enumerate(planes)
+        )
+        return F.expr(f"CAST((0 + {parts}) AS INT)")
     bucket = F.lit(0)
     for i, plane in enumerate(planes):
-        p = F.array(*[F.lit(float(v)) for v in plane])
-        bit = F.when(_dot(vec_col, p) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        bit = F.when(
+            _dot_lits_unrolled(vec_col, plane) >= 0, F.lit(1 << i)
+        ).otherwise(F.lit(0))
         bucket = bucket + bit
     return bucket.cast("int")
 
@@ -105,9 +221,9 @@ def lsh_bucketed_topk(
     if probe_hamming >= 1:
         probes += [qbucket ^ (1 << i) for i in range(n_planes)]
 
-    bucketed = df.withColumn("_bucket", srp_bucket_col(F.col(vec_col), planes))
+    bucketed = df.withColumn("_bucket", srp_bucket_col(vec_col, planes))
     candidates = bucketed.filter(F.col("_bucket").isin(probes))
-    sim = cosine_similarity_col(F.col(vec_col), query)
+    sim = cosine_similarity_col(vec_col, query)
     if round_digits is not None:
         sim = F.round(sim, round_digits)
     return (
@@ -134,13 +250,28 @@ def ivf_assign_buckets(
     partitions (partition pruning == IVF inverted lists)."""
     norms = np.linalg.norm(centroids, axis=1, keepdims=True)
     unit = centroids / np.where(norms == 0, 1, norms)
-    dots = [_dot(F.col(vec_col), F.array(*[F.lit(float(v)) for v in c])) for c in unit]
-    best = F.greatest(*dots) if len(dots) > 1 else dots[0]
+    # two-step projection: materialize the k dot products ONCE in an
+    # array column, then take greatest/argmax off the array items.
+    # Inlining the unrolled dots directly into greatest() AND the
+    # when-chain duplicates each 64-term expression ~2k times and blows
+    # the 64 KB codegen method limit (janino falls back to interpreted
+    # eval); the multiply-referenced alias is not collapsed by Catalyst,
+    # so each dot is evaluated exactly once per row and the stage stays
+    # whole-stage-codegen'd.  best/argmax semantics (greatest + first-
+    # match when-chain) are unchanged.
+    # one parsed SQL string for the whole k-dot array (single py4j call)
+    dots_arr = F.expr(
+        "ARRAY(" + ", ".join(_dot_lits_sql(_ref(vec_col), c) for c in unit) + ")"
+    )
+    tmp = df.withColumn("_ivf_dots", dots_arr)
+    k = len(unit)
+    items = [F.col("_ivf_dots").getItem(i) for i in range(k)]
+    best = F.greatest(*items) if k > 1 else items[0]
     bucket = F.lit(0)
     # argmax via when-chain (k is small: 8-64 centroids)
-    for i in range(len(dots) - 1, -1, -1):
-        bucket = F.when(dots[i] == best, F.lit(i)).otherwise(bucket)
-    return df.withColumn(bucket_col, bucket.cast("int"))
+    for i in range(k - 1, -1, -1):
+        bucket = F.when(items[i] == best, F.lit(i)).otherwise(bucket)
+    return tmp.withColumn(bucket_col, bucket.cast("int")).drop("_ivf_dots")
 
 
 def train_ivf_centroids(
@@ -197,7 +328,7 @@ def ivf_topk(
     probes = _rank_probes(query, centroids, n_probe)
     bucketed = ivf_assign_buckets(df, centroids, vec_col)
     candidates = bucketed.filter(F.col("_ivf_bucket").isin(probes))
-    sim = cosine_similarity_col(F.col(vec_col), query)
+    sim = cosine_similarity_col(vec_col, query)
     if round_digits is not None:
         sim = F.round(sim, round_digits)
     return (
@@ -245,7 +376,7 @@ def ivf_topk_pruned(
     candidates = spark.read.parquet(index_path).filter(
         F.col("ivf_bucket").isin(probes)
     )
-    sim = cosine_similarity_col(F.col(vec_col), query)
+    sim = cosine_similarity_col(vec_col, query)
     if round_digits is not None:
         sim = F.round(sim, round_digits)
     return (
@@ -255,8 +386,28 @@ def ivf_topk_pruned(
     )
 
 
-def cosine_pair_sim(va: Column, vb: Column) -> Column:
-    return _dot(va, vb) / (_norm(va) * _norm(vb))
+def cosine_pair_sim(
+    va: Column | str, vb: Column | str, dim: int | None = None
+) -> Column:
+    """Pairwise cosine.  With ``dim`` known (probed once from the data)
+    the three dots unroll into flat codegen'd expressions — bit-identical
+    to the fold form (same accumulation order), ~50x faster per pair;
+    str column names additionally build the whole thing as one parsed
+    SQL string (single py4j call)."""
+    if dim is None:
+        va = F.col(va) if isinstance(va, str) else va
+        vb = F.col(vb) if isinstance(vb, str) else vb
+        return _dot(va, vb) / (_norm(va) * _norm(vb))
+    if isinstance(va, str) and isinstance(vb, str):
+        a, b = _ref(va), _ref(vb)
+        return F.expr(
+            f"{_dot_cols_sql(a, b, dim)} / "
+            f"(SQRT({_dot_cols_sql(a, a, dim)}) * SQRT({_dot_cols_sql(b, b, dim)}))"
+        )
+    return _dot_cols_unrolled(va, vb, dim) / (
+        F.sqrt(_dot_cols_unrolled(va, va, dim))
+        * F.sqrt(_dot_cols_unrolled(vb, vb, dim))
+    )
 
 
 def cosine_near_dup_pairs(
@@ -350,22 +501,47 @@ def cosine_near_dup_pairs_blocked(
     from pyspark import StorageLevel
 
     dim = int(dim_probe["d"])
-    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    # per-ROW norm computed once here (N rows) instead of per PAIR in
+    # the recheck (worst-case N^2/buckets pairs x 2 sides).  The pair
+    # recheck then reads dot(va,vb)/(na*nb) — the same subexpressions
+    # in the same order as sqrt(dot(a,a)) * sqrt(dot(b,b)) evaluated
+    # inline, so cos_sim is bit-identical; it also shrinks the recheck
+    # stage's generated code under the 64 KB janino method limit (the
+    # inline 3-dot form fell back to interpreted eval for the whole
+    # join stage).
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.expr(f"SQRT({_dot_cols_sql(_ref(vec_col), _ref(vec_col), dim)})").alias(
+            "_nrm"
+        ),
+    )
     if bands <= 1:
         planes = _hyperplanes(dim, n_planes, seed)
-        bucketed = base.withColumn("_b", srp_bucket_col(F.col("v"), planes))
+        bucketed = base.withColumn("_b", srp_bucket_col("v", planes))
     else:
         # one bucket per independent plane bank; (band, bucket) composes
         # into a single join key so the cap/join logic below is band-blind
         banks = [_hyperplanes(dim, n_planes, seed + 7919 * k) for k in range(bands)]
         keys = F.array(
             *[
-                srp_bucket_col(F.col("v"), banks[k]) + F.lit(k << n_planes)
+                srp_bucket_col("v", banks[k]) + F.lit(k << n_planes)
                 for k in range(bands)
             ]
         )
         bucketed = base.withColumn("_b", F.explode(keys))
-    bucketed = bucketed.persist(StorageLevel.MEMORY_AND_DISK)
+    # spread the cached bucketed rows over the full parallelism: the
+    # input here is typically a handful of scan partitions (single-file
+    # parquet at bench scale), and the pair-enumeration + cosine-recheck
+    # join stage inherits the STREAM side's partitioning — without this
+    # the most expensive stage of the query runs on ~4 tasks while the
+    # other cores idle (guide §2.5 input skew / §2.6 idle capacity).
+    # The shuffle moves only (id, v, _nrm, _b) — a few MB per million
+    # rows — once, into the cache; at cluster scale the input already
+    # has >= defaultParallelism partitions and this is a no-op-sized
+    # rebalance on the same key count.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    bucketed = bucketed.repartition(par).persist(StorageLevel.MEMORY_AND_DISK)
     if max_bucket_size is None:
         left, right = bucketed.alias("l"), bucketed.alias("r")
         cand = left.join(
@@ -376,12 +552,15 @@ def cosine_near_dup_pairs_blocked(
             F.col("r.id").alias("id_b"),
             F.col("l.v").alias("va"),
             F.col("r.v").alias("vb"),
+            F.col("l._nrm").alias("na"),
+            F.col("r._nrm").alias("nb"),
         )
     else:
         stats = bucketed.groupBy("_b").agg(
             F.count(F.lit(1)).alias("_bsize"),
             F.min("id").alias("_rep"),
             F.min_by("v", "id").alias("_rep_v"),
+            F.min_by("_nrm", "id").alias("_rep_n"),
         )
         tagged = bucketed.join(stats, "_b")
         small = tagged.filter(F.col("_bsize") <= max_bucket_size)
@@ -394,6 +573,8 @@ def cosine_near_dup_pairs_blocked(
             F.col("r.id").alias("id_b"),
             F.col("l.v").alias("va"),
             F.col("r.v").alias("vb"),
+            F.col("l._nrm").alias("na"),
+            F.col("r._nrm").alias("nb"),
         )
         big_pairs = tagged.filter(
             (F.col("_bsize") > max_bucket_size) & (F.col("id") != F.col("_rep"))
@@ -402,9 +583,14 @@ def cosine_near_dup_pairs_blocked(
             F.col("id").alias("id_b"),
             F.col("_rep_v").alias("va"),
             F.col("v").alias("vb"),
+            F.col("_rep_n").alias("na"),
+            F.col("_nrm").alias("nb"),
         )
         cand = small_pairs.unionByName(big_pairs)
-    sim = F.round(cosine_pair_sim(F.col("va"), F.col("vb")), round_digits)
+    sim = F.round(
+        F.expr(_dot_cols_sql("`va`", "`vb`", dim)) / (F.col("na") * F.col("nb")),
+        round_digits,
+    )
     out = cand.select("id_a", "id_b", sim.alias("cos_sim")).filter(
         F.col("cos_sim") >= threshold
     )
@@ -426,7 +612,7 @@ def write_srp_index(
     """SRP-LSH analog of write_ivf_index: persist partitioned by the
     sign-random-projection bucket (deterministic hyperplanes)."""
     planes = _hyperplanes(dim, n_planes, seed)
-    df.withColumn("srp_bucket", srp_bucket_col(F.col(vec_col), planes)).write.mode(
+    df.withColumn("srp_bucket", srp_bucket_col(vec_col, planes)).write.mode(
         "overwrite"
     ).partitionBy("srp_bucket").parquet(path)
 
@@ -456,7 +642,7 @@ def srp_topk_pruned(
     candidates = spark.read.parquet(index_path).filter(
         F.col("srp_bucket").isin(probes)
     )
-    sim = cosine_similarity_col(F.col(vec_col), query)
+    sim = cosine_similarity_col(vec_col, query)
     if round_digits is not None:
         sim = F.round(sim, round_digits)
     return (

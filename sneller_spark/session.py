@@ -51,6 +51,29 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SNELLER_SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # HotSpot refuses to JIT-compile methods over 8 KB of bytecode
+        # (DontCompileHugeMethods, on by default), so the wide whole-
+        # stage-codegen methods our unrolled vector expressions produce
+        # (64-dim dot products, SRP bucket banks) execute in the
+        # BYTECODE INTERPRETER at ~50us/row — measured 23x slower than
+        # JIT-compiled on the near-dup pair recheck.  Lifting the limit
+        # (plus a larger code cache so the big compiled methods are
+        # never evicted) is a standard Spark tuning for codegen-heavy
+        # plans; same flags for executors on a real cluster.
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get(
+                "SNELLER_SPARK_DRIVER_JAVA_OPTS",
+                "-XX:-DontCompileHugeMethods -XX:ReservedCodeCacheSize=512m",
+            ),
+        )
+        .config(
+            "spark.executor.extraJavaOptions",
+            os.environ.get(
+                "SNELLER_SPARK_EXECUTOR_JAVA_OPTS",
+                "-XX:-DontCompileHugeMethods -XX:ReservedCodeCacheSize=512m",
+            ),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
