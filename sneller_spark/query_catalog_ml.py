@@ -1801,8 +1801,18 @@ def sketch_heavy_hitters_exact(spark, sf_dir):
     survivors matches the oracle's plain GROUP BY ... HAVING exactly."""
     from .operators.sketch import heavy_hitters_exact
 
-    words = load(spark, sf_dir, "documents").select(
-        F.explode(F.split(F.col("text"), r"\s+")).alias("word")
+    # repartition BEFORE the explode: the documents table is a single
+    # parquet file (one row group at bench scale), so the scan is one
+    # task — and heavy_hitters_exact walks the words THREE times
+    # (sketch build, candidate distinct, exact recount), each walk
+    # re-running split+explode on that one core.  One tiny shuffle of
+    # the raw docs (a few MB) spreads all three walks across the full
+    # parallelism; the identical repartition subtrees collapse into one
+    # reused exchange.  Row set is unchanged.
+    words = (
+        load(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(F.explode(F.split(F.col("text"), r"\s+")).alias("word"))
     )
     return heavy_hitters_exact(words, "word", threshold=500, width=2048)
 
